@@ -1,0 +1,16 @@
+"""Test configuration: force a virtual 8-device CPU backend before JAX initializes.
+
+Mirrors SURVEY.md §4's plan: multi-device behavior (mesh, psum, eval gather, cluster-bank
+all_gather) is exercised deterministically on fake devices, no TPU needed
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default for tests
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,205 @@
+"""Typed configuration for the TPU-native TOIST framework.
+
+Replaces the reference's argparse (~70 flags, ``/root/reference/main.py:32-274``) plus the
+JSON dataset-config dict-merge (``/root/reference/main.py:287-292``) with one frozen
+dataclass tree and explicit precedence: defaults < config file < CLI overrides.
+
+The reference silently lets ``configs/tdod.json`` override parsed flags; here the merge is
+explicit (`Config.from_sources`) and unknown keys are errors.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (reference: /root/reference/main.py:104-160)."""
+
+    backbone: str = "resnet101"          # reference --backbone (main.py:113-118)
+    dilation: bool = False               # --dilation (main.py:104-112)
+    hidden_dim: int = 256                # --hidden_dim (main.py:131-136)
+    dropout: float = 0.1                 # --dropout (main.py:137)
+    nheads: int = 8                      # --nheads (main.py:138-143)
+    dim_feedforward: int = 2048          # --dim_feedforward (main.py:125-130)
+    enc_layers: int = 6                  # --enc_layers (main.py:119-121)
+    dec_layers: int = 6                  # --dec_layers (main.py:122-124)
+    num_queries: int = 100               # --num_queries (main.py:144)
+    pre_norm: bool = False               # --pre_norm (main.py:145)
+    pass_pos_and_query: bool = True      # --no_pass_pos_and_query inverse (main.py:93-98)
+    text_encoder_type: str = "roberta-base"  # --text_encoder_type (main.py:154-158)
+    freeze_text_encoder: bool = False    # --freeze_text_encoder (main.py:146-153)
+    without_pretrain: bool = False       # --without_pretrain (main.py:256): random init
+    num_classes: int = 255               # hardcoded (models/mdetr.py:1040); logits = 256 cols
+    contrastive_align_loss: bool = True  # inverse of --no_contrastive_align_loss
+    contrastive_hdim: int = 64           # --contrastive_loss_hdim (main.py:179-185)
+    mask_model: str = "none"             # --mask_model {none,smallconv} (main.py:164-169)
+    masks: bool = False                  # derived: mask_model != none => True (main.py:297-298)
+    frozen_detector: bool = False        # seg training freezes wrapped detector
+    # TPU additions (no reference counterpart): compute dtype policy.
+    compute_dtype: str = "bfloat16"      # activations/matmul dtype on TPU
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + static-shape batching config.
+
+    The reference pads each batch to its own max shape (util/misc.py:184-209) and lets text
+    pad to the longest caption (models/transformer.py:129). On TPU everything is padded to a
+    small static set of buckets so XLA never recompiles (SURVEY.md §5.7).
+    """
+
+    coco_path: str = ""                  # root holding images + task_N_{train,test}.json
+    refexp_ann_path: str = ""            # annotations dir (configs/tdod.json)
+    tasks: Tuple[int, ...] = tuple(range(1, 15))  # COCO-Tasks task ids 1..14
+    test: bool = False                   # --test (main.py:259)
+    # Static shapes.
+    image_buckets: Tuple[Tuple[int, int], ...] = ((512, 512), (800, 1333))
+    eval_bucket: Tuple[int, int] = (800, 1333)   # val resize 800 max 1333 (datasets/tdod.py:330)
+    max_text_len: int = 32               # static text token length (captions are short)
+    num_logit_cols: int = 256            # positive-map width (datasets/tdod.py:152)
+    max_boxes: int = 25                  # static per-image GT box slots + validity mask
+    train_scales: Tuple[int, ...] = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+    max_size: int = 1333
+    # Caption modes (datasets/tdod.py:66-89)
+    verb_noun_input: bool = False        # teacher captions "verb + noun"
+    num_workers: int = 4
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer / schedule (reference: main.py:47-74, util/optim.py)."""
+
+    lr: float = 5e-5
+    lr_backbone: float = 1e-5
+    text_encoder_lr: float = 1e-5
+    train_batch_size: int = 6            # per-device
+    valid_batch_size: int = 8
+    weight_decay: float = 1e-4
+    epochs: int = 60
+    lr_drop: int = 7
+    optimizer: str = "adamw"
+    clip_max_norm: float = 0.1
+    ema: bool = True
+    ema_decay: float = 0.9998
+    fraction_warmup_steps: float = 0.01
+    schedule: str = "linear_with_warmup" # {step, multistep, linear_with_warmup, all_linear_with_warmup}
+    eval_skip: int = 1
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss switches + coefficients (reference: main.py:186-250, models/mdetr.py:1067-1103)."""
+
+    aux_loss: bool = True                # inverse of --no_aux_loss (main.py:86-92)
+    set_cost_class: float = 1.0          # --set_cost_class (main.py:198-203)
+    set_cost_bbox: float = 5.0           # --set_cost_bbox (main.py:204-209)
+    set_cost_giou: float = 2.0           # --set_cost_giou (main.py:210-215)
+    ce_loss_coef: float = 1.0
+    bbox_loss_coef: float = 5.0
+    giou_loss_coef: float = 2.0
+    mask_loss_coef: float = 1.0
+    dice_loss_coef: float = 1.0
+    contrastive_align_loss_coef: float = 1.0
+    eos_coef: float = 0.1                # --eos_coef (main.py:223-228)
+    temperature_NCE: float = 0.07        # --temperature_NCE (main.py:193-197)
+    # Distillation (main.py:232-250)
+    nsthl2_loss: bool = False            # --nsthl2_loss
+    nsthl2_coef: float = 1e4
+    softkd_loss: bool = False            # --softkd_loss
+    softkd_coef: float = 50.0
+    cluster: bool = False                # --cluster
+    cluster_choice_loss: float = 0.0
+    cluster_feature_loss: float = 1e4
+    cluster_memory_size: int = 1024
+    cluster_num: int = 3                 # K for k-means
+    fifo_memory: bool = False            # --fifo_memory
+    distillation: bool = False           # --distillation (dual teacher/student)
+    kmeans_max_iters: int = 32           # bounded lax.while_loop iters (kmeans.py:62-94 unbounded)
+    kmeans_tol: float = 1e-4
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Runtime / orchestration."""
+
+    output_dir: str = ""
+    seed: int = 42
+    resume: str = ""
+    load: str = ""
+    load_noun: str = ""
+    start_epoch: int = 0
+    eval_only: bool = False
+    # Mesh: data parallelism is the reference's only strategy (SURVEY.md §2.2).
+    mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the 'data' axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    shard_opt_state: bool = True         # ZeRO-1-style optimizer sharding over 'data'
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    @staticmethod
+    def from_sources(config_file: Optional[str] = None,
+                     overrides: Optional[dict] = None) -> "Config":
+        """defaults < json config file < overrides. Unknown keys raise."""
+        cfg = Config()
+        for source in (_load_json(config_file), overrides or {}):
+            cfg = _merge(cfg, source)
+        cfg = _derive(cfg)
+        return cfg
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _load_json(path: Optional[str]) -> dict:
+    if not path:
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _merge(cfg: Config, src: dict) -> Config:
+    sections = {}
+    for sec_name, sec_val in src.items():
+        if not hasattr(cfg, sec_name):
+            raise KeyError(f"Unknown config section: {sec_name!r}")
+        sec = getattr(cfg, sec_name)
+        if not isinstance(sec_val, dict):
+            raise TypeError(f"Config section {sec_name!r} must be a dict")
+        kwargs = {}
+        for k, v in sec_val.items():
+            if not hasattr(sec, k):
+                raise KeyError(f"Unknown config key: {sec_name}.{k}")
+            cur = getattr(sec, k)
+            if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+                v = tuple(tuple(x) if isinstance(x, (list, tuple)) else x for x in v)
+            kwargs[k] = v
+        sections[sec_name] = dataclasses.replace(sec, **kwargs)
+    return dataclasses.replace(cfg, **sections) if sections else cfg
+
+
+def _derive(cfg: Config) -> Config:
+    """Derived flags, mirroring /root/reference/main.py:297-320 guards."""
+    model = cfg.model
+    if model.mask_model != "none" and not model.masks:
+        model = dataclasses.replace(model, masks=True)
+    if cfg.loss.cluster and cfg.loss.cluster_num <= 0:
+        raise ValueError("cluster_num must be positive when cluster is enabled")
+    if cfg.loss.distillation and not (cfg.loss.softkd_loss or cfg.loss.nsthl2_loss
+                                      or cfg.loss.cluster):
+        raise ValueError("distillation requires at least one distillation loss")
+    return dataclasses.replace(cfg, model=model)

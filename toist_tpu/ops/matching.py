@@ -1,0 +1,91 @@
+"""Hungarian matching for set prediction, fully on device.
+
+Reference semantics: /root/reference/models/matcher.py:39-87 — per-image cost matrix
+C = cost_bbox * L1(cdist) + cost_class * (-softmax(logits) @ positive_map^T)
+  + cost_giou * (-GIoU), solved by linear_sum_assignment with rows=queries, cols=targets.
+
+Differences by design (SURVEY.md §7 "shape discipline"): targets are padded to a static
+MAX_BOXES with a validity mask instead of ragged per-image lists; the assignment solver runs
+on device (ops/lsa.py) instead of scipy on host. The solver takes rows=targets (the small
+side), matching scipy's internal transpose for R<=C, so results align with the reference's
+(query_idx, target_idx) pairs.
+
+Output convention: ``tgt2query[b, t]`` = query index assigned to target t (or -1 where
+``tgt_valid[b, t]`` is False). This is the inverse permutation of the reference's
+(index_i, index_j) lists and is more convenient for fixed-shape gather in the losses.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from toist_tpu.ops import box_ops
+from toist_tpu.ops.lsa import solve_lsa
+
+
+class MatchResult(NamedTuple):
+    tgt2query: jnp.ndarray   # [B, T] int32, -1 for invalid targets
+    cost: jnp.ndarray        # [B, Q, T] float32 full cost matrix (for diagnostics)
+
+
+def match_costs(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
+                tgt_boxes: jnp.ndarray, positive_map: jnp.ndarray,
+                cost_class: float, cost_bbox: float, cost_giou: float) -> jnp.ndarray:
+    """Build the [B, Q, T] matching cost tensor (reference matcher.py:63-81)."""
+    out_prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)  # [B,Q,L]
+    # Soft-token class cost: -(prob . positive_map) per (query, target).
+    c_class = -jnp.einsum("bql,btl->bqt", out_prob, positive_map.astype(jnp.float32))
+    # L1 box cost.
+    c_bbox = jnp.sum(
+        jnp.abs(pred_boxes[:, :, None, :] - tgt_boxes[:, None, :, :]), axis=-1)
+    # GIoU cost.
+    pb = box_ops.box_cxcywh_to_xyxy(pred_boxes)
+    tb = box_ops.box_cxcywh_to_xyxy(tgt_boxes)
+    c_giou = -jax.vmap(box_ops.generalized_box_iou)(pb, tb)
+    return (cost_bbox * c_bbox + cost_class * c_class + cost_giou * c_giou)
+
+
+def hungarian_match(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
+                    tgt_boxes: jnp.ndarray, positive_map: jnp.ndarray,
+                    tgt_valid: jnp.ndarray,
+                    cost_class: float = 1.0, cost_bbox: float = 5.0,
+                    cost_giou: float = 2.0) -> MatchResult:
+    """Match queries to (padded) targets.
+
+    Args:
+      pred_logits: [B, Q, L] raw logits (L = 256 soft-token columns).
+      pred_boxes:  [B, Q, 4] cxcywh in [0,1].
+      tgt_boxes:   [B, T, 4] cxcywh, zero-padded.
+      positive_map:[B, T, L] soft token alignment rows, zero-padded.
+      tgt_valid:   [B, T] bool.
+
+    Returns MatchResult with tgt2query [B, T].
+    """
+    cost = match_costs(pred_logits, pred_boxes, tgt_boxes, positive_map,
+                       cost_class, cost_bbox, cost_giou)
+    n_valid = jnp.sum(tgt_valid.astype(jnp.int32), axis=-1)  # [B]
+
+    # Compact valid targets to the front so solve_lsa's "first n rows" contract holds.
+    # Within COCO-Tasks batches targets are already front-packed by the batcher, but be
+    # robust to arbitrary masks: stable-sort targets by ~valid.
+    order = jnp.argsort(~tgt_valid, axis=-1, stable=True)            # [B, T]
+    cost_t = jnp.take_along_axis(
+        jnp.swapaxes(cost, 1, 2), order[:, :, None], axis=1)          # [B, T, Q]
+    # Padded target rows get zero cost rows (ignored by solver via n_rows).
+    assigned = jax.vmap(solve_lsa)(cost_t, n_valid)                   # [B, T] query idx
+    # Scatter back to original target order.
+    tgt2query = jnp.full(tgt_valid.shape, -1, jnp.int32)
+    tgt2query = jax.vmap(lambda t2q, o, a: t2q.at[o].set(a))(tgt2query, order, assigned)
+    tgt2query = jnp.where(tgt_valid, tgt2query, -1)
+    return MatchResult(tgt2query=tgt2query, cost=cost)
+
+
+def query_is_matched(tgt2query: jnp.ndarray, num_queries: int) -> jnp.ndarray:
+    """[B, T] -> [B, Q] bool: which queries got matched to some valid target."""
+    B, T = tgt2query.shape
+    onehot = jax.nn.one_hot(
+        jnp.where(tgt2query >= 0, tgt2query, num_queries), num_queries + 1,
+        dtype=jnp.int32)
+    return jnp.sum(onehot[..., :num_queries], axis=1) > 0

@@ -1,0 +1,146 @@
+"""End-to-end host data pipeline tests: fixture -> dataset -> transforms -> batches."""
+import numpy as np
+import pytest
+
+from toist_tpu.config import DataConfig
+from toist_tpu.data import transforms as T
+from toist_tpu.data.batcher import BatchIterator, BucketSpec, collate, default_buckets
+from toist_tpu.data.cocotasks import CocoTasksDataset, build_task_dataset, TASKS
+from toist_tpu.data.fixtures import fixture_captions, generate_fixture
+from toist_tpu.data.tokenizer import RobertaBPE
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cocotasks_fixture")
+    return generate_fixture(str(root), num_tasks=2, imgs_per_split=6, seed=0)
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return RobertaBPE.train(fixture_captions(), vocab_size=600)
+
+
+def _cfg(fixture_root, **kw):
+    return DataConfig(coco_path=fixture_root,
+                      refexp_ann_path=f"{fixture_root}/annotations",
+                      max_text_len=64, **kw)
+
+
+def test_dataset_plain_mode(fixture_root, tokenizer):
+    cfg = _cfg(fixture_root)
+    ds = build_task_dataset(cfg, 1, "val", tokenizer)
+    assert len(ds) == 6
+    rng = np.random.default_rng(0)
+    samples = ds.get(0, rng)
+    assert len(samples) == 1
+    s = samples[0]
+    assert s["caption"] == TASKS[1] + "something"
+    n = len(s["boxes"])
+    assert n >= 1
+    assert s["positive_map"].shape == (n, 256)
+    # Pronoun mode: every box's positive map covers the whole caption tokens.
+    row_sums = s["positive_map"].sum(-1)
+    np.testing.assert_allclose(row_sums, 1.0, atol=1e-3)
+    # boxes normalized cxcywh in [0,1]
+    assert (s["boxes"] >= 0).all() and (s["boxes"] <= 1).all()
+    # val resize: short side 800 (fixture 240x320 -> 800x1066)
+    assert min(s["image"].shape[:2]) == 800
+
+
+def test_dataset_verb_noun_mode(fixture_root, tokenizer):
+    cfg = _cfg(fixture_root, verb_noun_input=True)
+    ds = build_task_dataset(cfg, 1, "val", tokenizer)
+    s = ds.get(1, np.random.default_rng(0))[0]
+    # Teacher captions contain the task verb and at least one noun.
+    assert TASKS[1] in s["caption"]
+    assert s["caption"] != TASKS[1] + "something"
+    # noun spans resolved to real token indices
+    assert (s["noun_token_spans"] >= 0).any()
+
+
+def test_dataset_distillation_pairs(fixture_root, tokenizer):
+    cfg = _cfg(fixture_root)
+    ds = build_task_dataset(cfg, 1, "train", tokenizer, distillation=True)
+    pair = ds.get(0, np.random.default_rng(3))
+    assert len(pair) == 2
+    noun, sth = pair
+    # Shared transform geometry: identical boxes and image arrays.
+    np.testing.assert_allclose(noun["boxes"], sth["boxes"], atol=1e-6)
+    np.testing.assert_allclose(noun["image"], sth["image"], atol=1e-6)
+    assert sth["caption"].endswith("something")
+    assert not noun["caption"].endswith("something")
+
+
+def test_masks_loaded(fixture_root, tokenizer):
+    cfg = _cfg(fixture_root)
+    ds = build_task_dataset(cfg, 1, "val", tokenizer, masks=True)
+    s = ds.get(0, np.random.default_rng(0))[0]
+    assert "masks" in s and s["masks"].shape[0] == len(s["boxes"])
+    # Mask area roughly matches box area (objects are solid rect/ellipse).
+    h, w = s["image"].shape[:2]
+    for i in range(len(s["boxes"])):
+        bx = s["boxes"][i] * np.array([w, h, w, h])
+        box_area = bx[2] * bx[3]
+        m_area = s["masks"][i].sum()
+        assert m_area > 0.4 * box_area
+
+
+def test_hflip_caption_swap():
+    from PIL import Image
+    img = Image.new("RGB", (64, 48))
+    target = {"caption": "to the left of the right table",
+              "boxes": np.array([[10.0, 5.0, 30.0, 25.0]], np.float32)}
+    _, out = T.hflip(img, target)
+    assert out["caption"] == "to the right of the left table"
+    np.testing.assert_allclose(out["boxes"], [[34, 5, 54, 25]])
+
+
+def test_resize_aspect():
+    assert T.get_size_with_aspect_ratio((320, 240), 800, 1333) == (800, 1066)
+    # long side clamps at max_size
+    oh, ow = T.get_size_with_aspect_ratio((2000, 500), 800, 1333)
+    assert max(oh, ow) <= 1333
+
+
+def test_bucket_pick():
+    spec = BucketSpec(buckets=default_buckets(), max_boxes=25)
+    assert spec.buckets == ((800, 1344), (1344, 800))
+    assert spec.pick(800, 1066) == 0
+    assert spec.pick(1066, 800) == 1
+    assert spec.pick(800, 800) in (0, 1)
+    assert spec.pick(1400, 900) == -1
+
+
+def test_batch_iterator_static_shapes(fixture_root, tokenizer):
+    cfg = _cfg(fixture_root)
+    datasets = [build_task_dataset(cfg, t, "val", tokenizer) for t in (1, 2)]
+    spec = BucketSpec(buckets=default_buckets(), max_text_len=64, max_boxes=25)
+    it = BatchIterator(datasets, spec, batch_size=4, seed=0, shuffle=True)
+    batches = list(it.epoch(0))
+    assert sum(b["sample_valid"].sum() for b in batches) == 12
+    for b in batches:
+        assert b["images"].shape == (4, 800, 1344, 3)
+        assert b["text_ids"].shape == (4, 64)
+        assert b["boxes"].shape == (4, 25, 4)
+        assert b["positive_map"].shape == (4, 25, 256)
+        # padding pixels masked True
+        assert b["image_mask"][0, -1, -1]
+        assert not b["image_mask"][0, 0, 0]
+    # Determinism: same epoch -> identical batches.
+    again = list(it.epoch(0))
+    np.testing.assert_array_equal(batches[0]["image_id"], again[0]["image_id"])
+    np.testing.assert_allclose(batches[0]["images"], again[0]["images"])
+
+
+def test_batch_iterator_sharding(fixture_root, tokenizer):
+    cfg = _cfg(fixture_root)
+    datasets = [build_task_dataset(cfg, 1, "val", tokenizer)]
+    spec = BucketSpec(buckets=default_buckets(), max_boxes=25)
+    ids = []
+    for shard in range(2):
+        it = BatchIterator(datasets, spec, batch_size=2, seed=0, shuffle=False,
+                           shard_id=shard, num_shards=2)
+        for b in it.epoch(0):
+            ids.extend(b["image_id"][b["sample_valid"]].tolist())
+    assert sorted(ids) == sorted(d for ds in datasets for d in ds.ids)

@@ -60,7 +60,7 @@ class DataConfig:
     # Static shapes.
     image_buckets: Tuple[Tuple[int, int], ...] = ((512, 512), (800, 1333))
     eval_bucket: Tuple[int, int] = (800, 1333)   # val resize 800 max 1333 (datasets/tdod.py:330)
-    max_text_len: int = 32               # static text token length (captions are short)
+    max_text_len: int = 64               # static text token length (captions are short)
     num_logit_cols: int = 256            # positive-map width (datasets/tdod.py:152)
     max_boxes: int = 25                  # static per-image GT box slots + validity mask
     train_scales: Tuple[int, ...] = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)

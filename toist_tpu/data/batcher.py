@@ -1,0 +1,194 @@
+"""Static bucketed pad-to-shape batching — the TPU replacement for NestedTensor.
+
+The reference pads each batch to its own max H,W (util/misc.py:184-209) and text to the
+longest caption; under XLA that means a recompile per novel shape. Here every batch is
+padded to one of a small fixed set of (H, W) canvas buckets and a fixed text length /
+box count, so the jitted step compiles once per bucket (SURVEY.md §5.7, the north-star
+requirement in BASELINE.json).
+
+A `Batch` is a flat dict of numpy arrays with fully static shapes:
+  images      [B, H, W, 3] f32   (NHWC, zero-padded)
+  image_mask  [B, H, W]    bool  True on PADDING pixels (NestedTensor convention)
+  text_ids    [B, T]       i32   (PAD=1)
+  text_mask   [B, T]       bool  True on padding tokens
+  boxes       [B, N, 4]    f32   normalized cxcywh, zero-padded
+  labels      [B, N]       i64
+  box_valid   [B, N]       bool
+  positive_map[B, N, 256]  f32
+  noun_token_spans [B, N, 2] i32 (inclusive, -1 = missing)
+  gt_masks    [B, N, H/4, W/4] u8 (only when masks on)
+  sample_valid[B]          bool  False for batch-padding rows
+  image_id / task_id / orig_size / size — bookkeeping for eval
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MASK_STRIDE = 4  # GT masks stored at this stride for the mask loss
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    buckets: Tuple[Tuple[int, int], ...]  # (H, W) canvases, multiples of 32
+    max_text_len: int = 64
+    max_boxes: int = 25
+    num_logit_cols: int = 256
+    with_masks: bool = False
+
+    def pick(self, h: int, w: int) -> int:
+        """Smallest-area bucket that fits; -1 if none."""
+        best, best_area = -1, None
+        for i, (bh, bw) in enumerate(self.buckets):
+            if h <= bh and w <= bw:
+                area = bh * bw
+                if best_area is None or area < best_area:
+                    best, best_area = i, area
+        return best
+
+
+def default_buckets(max_size: int = 1333, short: int = 800) -> Tuple[Tuple[int, int], ...]:
+    """Two-orientation canvases covering the reference's resize envelope."""
+    long_r = _round_up(max_size, 32)
+    short_r = _round_up(short, 32)
+    return ((short_r, long_r), (long_r, short_r))
+
+
+def pad_sample_to_canvas(sample: dict, bh: int, bw: int,
+                         spec: BucketSpec) -> dict:
+    """Pad one transformed sample's image/masks to the (bh, bw) canvas."""
+    img = sample["image"]
+    h, w = img.shape[:2]
+    assert h <= bh and w <= bw, (h, w, bh, bw)
+    out = np.zeros((bh, bw, 3), np.float32)
+    out[:h, :w] = img
+    mask = np.ones((bh, bw), bool)
+    mask[:h, :w] = False
+    padded = {"image": out, "image_mask": mask}
+    if spec.with_masks:
+        n = len(sample.get("masks", []))
+        mh, mw = bh // MASK_STRIDE, bw // MASK_STRIDE
+        gm = np.zeros((spec.max_boxes, mh, mw), np.uint8)
+        for i in range(min(n, spec.max_boxes)):
+            m = sample["masks"][i]
+            ys = (np.arange(m.shape[0] // MASK_STRIDE) * MASK_STRIDE)
+            xs = (np.arange(m.shape[1] // MASK_STRIDE) * MASK_STRIDE)
+            sub = m[np.ix_(ys, xs)]
+            gm[i, :sub.shape[0], :sub.shape[1]] = sub
+        padded["gt_masks"] = gm
+    return padded
+
+
+def collate(samples: Sequence[dict], spec: BucketSpec, bucket_idx: int,
+            batch_size: int) -> Dict[str, np.ndarray]:
+    """Samples (already same bucket) -> fixed-shape Batch dict; pads to batch_size."""
+    bh, bw = spec.buckets[bucket_idx]
+    B, N, T = batch_size, spec.max_boxes, spec.max_text_len
+    L = spec.num_logit_cols
+    batch = {
+        "images": np.zeros((B, bh, bw, 3), np.float32),
+        "image_mask": np.ones((B, bh, bw), bool),
+        "text_ids": np.full((B, T), 1, np.int32),
+        "text_mask": np.ones((B, T), bool),
+        "boxes": np.zeros((B, N, 4), np.float32),
+        "labels": np.zeros((B, N), np.int64),
+        "box_valid": np.zeros((B, N), bool),
+        "positive_map": np.zeros((B, N, L), np.float32),
+        "noun_token_spans": np.full((B, N, 2), -1, np.int32),
+        "sample_valid": np.zeros((B,), bool),
+        "image_id": np.zeros((B,), np.int64),
+        "task_id": np.zeros((B,), np.int32),
+        "orig_size": np.zeros((B, 2), np.int32),
+        "size": np.zeros((B, 2), np.int32),
+    }
+    if spec.with_masks:
+        batch["gt_masks"] = np.zeros(
+            (B, N, bh // MASK_STRIDE, bw // MASK_STRIDE), np.uint8)
+    for b, s in enumerate(samples):
+        if b >= B:
+            break
+        p = pad_sample_to_canvas(s, bh, bw, spec)
+        batch["images"][b] = p["image"]
+        batch["image_mask"][b] = p["image_mask"]
+        if spec.with_masks:
+            batch["gt_masks"][b] = p["gt_masks"]
+        tl = int(s["text_len"])
+        tt = min(len(s["text_ids"]), T)
+        batch["text_ids"][b, :tt] = s["text_ids"][:tt]
+        batch["text_mask"][b, :min(tl, T)] = False
+        n = min(len(s["boxes"]), N)
+        if n:
+            batch["boxes"][b, :n] = s["boxes"][:n]
+            batch["labels"][b, :n] = s["labels"][:n]
+            batch["box_valid"][b, :n] = True
+            pm = s["positive_map"][:n, :L]
+            batch["positive_map"][b, :n, :pm.shape[1]] = pm
+            batch["noun_token_spans"][b, :n] = s["noun_token_spans"][:n]
+        batch["sample_valid"][b] = True
+        batch["image_id"][b] = s["image_id"]
+        batch["task_id"][b] = s["task_id"]
+        batch["orig_size"][b] = s["orig_size"]
+        batch["size"][b] = s["size"]
+    return batch
+
+
+class BatchIterator:
+    """Groups dataset samples into same-bucket fixed-shape batches.
+
+    Supports multi-host data parallelism by slicing indices per process
+    (`shard_id` / `num_shards`, the DistributedSampler equivalent,
+    reference main.py:409).
+    """
+
+    def __init__(self, datasets: List, spec: BucketSpec, batch_size: int,
+                 seed: int = 42, shuffle: bool = True, drop_last: bool = False,
+                 shard_id: int = 0, num_shards: int = 1):
+        self.datasets = datasets
+        self.spec = spec
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self._index: List[Tuple[int, int]] = []
+        for di, ds in enumerate(datasets):
+            for si in range(len(ds)):
+                self._index.append((di, si))
+
+    def __len__(self):
+        per_shard = len(self._index) // self.num_shards
+        return per_shard // self.batch_size if self.drop_last else \
+            -(-per_shard // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch)
+        order = np.arange(len(self._index))
+        if self.shuffle:
+            rng.shuffle(order)
+        order = order[self.shard_id::self.num_shards]
+
+        pending: Dict[int, List[dict]] = {}
+        for flat_idx in order:
+            di, si = self._index[flat_idx]
+            sample_rng = np.random.default_rng(
+                (self.seed, epoch, int(flat_idx)))
+            for s in self.datasets[di].get(si, sample_rng):
+                h, w = s["image"].shape[:2]
+                bi = self.spec.pick(h, w)
+                if bi < 0:
+                    continue  # oversized sample (shouldn't happen post-resize)
+                pending.setdefault(bi, []).append(s)
+                if len(pending[bi]) == self.batch_size:
+                    yield collate(pending.pop(bi), self.spec, bi,
+                                  self.batch_size)
+        if not self.drop_last:
+            for bi, rest in sorted(pending.items()):
+                if rest:
+                    yield collate(rest, self.spec, bi, self.batch_size)

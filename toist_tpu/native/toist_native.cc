@@ -1,0 +1,490 @@
+// toist_native — C++ core for the TPU-native TOIST framework.
+//
+// Implements the native components the reference delegates to third-party
+// packages (SURVEY.md §2.3):
+//   * LAPJV-style exact linear sum assignment (reference uses
+//     scipy.optimize.linear_sum_assignment, models/matcher.py:85)
+//   * COCO run-length-encoding core: encode/decode/area/iou/merge, the
+//     compressed char-string codec, and polygon rasterization (reference uses
+//     pycocotools._mask, datasets/tdod.py:136, datasets/coco_eval.py:272)
+//   * byte-level BPE encoding with character offsets (reference uses the HF
+//     Rust tokenizer, models/transformer.py:59; char offsets feed the
+//     positive-map machinery, datasets/tdod.py:150-176)
+//
+// Everything is exposed through a C ABI consumed via ctypes (no pybind11 in
+// this image). All implementations are from published format/algorithm specs,
+// not translations of the reference.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC toist_native.cc -o libtoist_native.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <map>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Linear sum assignment (shortest augmenting path with dual potentials).
+// cost: row-major [nr, nc] with nr <= nc. col4row: [nr] output (column chosen
+// for each row). Returns 0 on success, -1 on infeasible/invalid input.
+// ---------------------------------------------------------------------------
+int lsa_solve(const double* cost, int nr, int nc, int* col4row) {
+  if (nr > nc || nr < 0) return -1;
+  const double INF = std::numeric_limits<double>::infinity();
+  std::vector<double> u(nr, 0.0), v(nc, 0.0), shortest(nc);
+  std::vector<int> row4col(nc, -1), path(nc, -1);
+  std::vector<char> SR(nr), SC(nc);
+  std::fill(col4row, col4row + nr, -1);
+
+  for (int cur = 0; cur < nr; ++cur) {
+    std::fill(SR.begin(), SR.end(), 0);
+    std::fill(SC.begin(), SC.end(), 0);
+    std::fill(shortest.begin(), shortest.end(), INF);
+    std::fill(path.begin(), path.end(), -1);
+    double minval = 0.0;
+    int i = cur, sink = -1;
+    while (sink == -1) {
+      SR[i] = 1;
+      const double* ci = cost + (size_t)i * nc;
+      double lowest = INF;
+      int jlow = -1;
+      for (int j = 0; j < nc; ++j) {
+        if (SC[j]) continue;
+        double r = minval + ci[j] - u[i] - v[j];
+        if (r < shortest[j]) { shortest[j] = r; path[j] = i; }
+        if (shortest[j] < lowest ||
+            (shortest[j] == lowest && jlow >= 0 && row4col[j] == -1 &&
+             row4col[jlow] != -1)) {
+          lowest = shortest[j];
+          jlow = j;
+        }
+      }
+      if (jlow < 0 || lowest == INF) return -1;  // infeasible
+      minval = lowest;
+      SC[jlow] = 1;
+      if (row4col[jlow] == -1) sink = jlow; else i = row4col[jlow];
+    }
+    u[cur] += minval;
+    for (int r = 0; r < nr; ++r)
+      if (SR[r] && r != cur) u[r] += minval - shortest[col4row[r]];
+    for (int j = 0; j < nc; ++j)
+      if (SC[j]) v[j] -= minval - shortest[j];
+    // Augment backwards from sink.
+    int j = sink;
+    while (true) {
+      int r = path[j];
+      row4col[j] = r;
+      int prev = col4row[r];
+      col4row[r] = j;
+      if (r == cur) break;
+      j = prev;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// COCO RLE. Masks are column-major (Fortran) uint8 arrays of shape [h, w],
+// flattened index = x * h + y, per the COCO mask format. Counts alternate
+// runs of 0s and 1s, starting with 0s.
+// ---------------------------------------------------------------------------
+
+// Encode binary mask -> counts. Returns number of counts written (caller
+// provides counts buffer of size h*w+1).
+int rle_encode(const uint8_t* mask, int h, int w, uint32_t* counts) {
+  int64_t n = (int64_t)h * w;
+  int m = 0;
+  uint8_t prev = 0;
+  uint32_t c = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    uint8_t cur = mask[k] ? 1 : 0;
+    if (cur != prev) { counts[m++] = c; c = 0; prev = cur; }
+    ++c;
+  }
+  counts[m++] = c;
+  return m;
+}
+
+// Decode counts -> binary mask (caller zeroes/allocates h*w bytes).
+void rle_decode(const uint32_t* counts, int m, int h, int w, uint8_t* mask) {
+  int64_t k = 0, n = (int64_t)h * w;
+  uint8_t val = 0;
+  for (int i = 0; i < m; ++i) {
+    uint32_t c = counts[i];
+    for (uint32_t j = 0; j < c && k < n; ++j) mask[k++] = val;
+    val = 1 - val;
+  }
+}
+
+uint64_t rle_area(const uint32_t* counts, int m) {
+  uint64_t a = 0;
+  for (int i = 1; i < m; i += 2) a += counts[i];
+  return a;
+}
+
+// Area of intersection of two RLEs over the same canvas.
+static uint64_t rle_intersect_area(const uint32_t* a, int ma,
+                                   const uint32_t* b, int mb) {
+  uint64_t inter = 0;
+  int ia = 0, ib = 0;
+  uint64_t ca = ia < ma ? a[ia] : 0, cb = ib < mb ? b[ib] : 0;
+  uint8_t va = 0, vb = 0;
+  while (ia < ma && ib < mb) {
+    uint64_t step = std::min(ca, cb);
+    if (va && vb) inter += step;
+    ca -= step; cb -= step;
+    if (ca == 0) { ++ia; va = 1 - va; ca = ia < ma ? a[ia] : 0; }
+    if (cb == 0) { ++ib; vb = 1 - vb; cb = ib < mb ? b[ib] : 0; }
+  }
+  return inter;
+}
+
+// IoU between RLE dt and gt. iscrowd: union is dt's area (COCO convention).
+double rle_iou(const uint32_t* dt, int mdt, const uint32_t* gt, int mgt,
+               int iscrowd) {
+  uint64_t inter = rle_intersect_area(dt, mdt, gt, mgt);
+  uint64_t adt = rle_area(dt, mdt), agt = rle_area(gt, mgt);
+  double uni = iscrowd ? (double)adt : (double)(adt + agt - inter);
+  if (uni <= 0) return 0.0;
+  return (double)inter / uni;
+}
+
+// Merge (union or intersection) of two RLEs -> counts. Returns m of output.
+int rle_merge(const uint32_t* a, int ma, const uint32_t* b, int mb,
+              int intersect, uint32_t* out) {
+  int ia = 0, ib = 0, mo = 0;
+  uint64_t ca = ia < ma ? a[ia] : 0, cb = ib < mb ? b[ib] : 0;
+  uint8_t va = 0, vb = 0, prev = 0;
+  uint64_t run = 0;
+  while (ia < ma && ib < mb) {
+    uint64_t step = std::min(ca, cb);
+    uint8_t v = intersect ? (va & vb) : (va | vb);
+    if (v == prev) run += step;
+    else { out[mo++] = (uint32_t)run; run = step; prev = v; }
+    ca -= step; cb -= step;
+    if (ca == 0) { ++ia; va = 1 - va; ca = ia < ma ? a[ia] : 0; }
+    if (cb == 0) { ++ib; vb = 1 - vb; cb = ib < mb ? b[ib] : 0; }
+  }
+  out[mo++] = (uint32_t)run;
+  return mo;
+}
+
+// Compressed char-string codec (the COCO "counts" string format): each count
+// is delta-coded against counts[i-2] and emitted as little-endian 5-bit
+// chunks with a continuation bit, chars offset by 48.
+int rle_to_string(const uint32_t* counts, int m, char* out /*>=m*7+1*/) {
+  int p = 0;
+  for (int i = 0; i < m; ++i) {
+    int64_t x = (int64_t)counts[i];
+    if (i > 2) x -= (int64_t)counts[i - 2];
+    bool more = true;
+    while (more) {
+      int64_t c = x & 0x1f;
+      x >>= 5;
+      more = (c & 0x10) ? (x != -1) : (x != 0);
+      if (more) c |= 0x20;
+      out[p++] = (char)(c + 48);
+    }
+  }
+  out[p] = 0;
+  return p;
+}
+
+int rle_from_string(const char* s, uint32_t* counts, int max_m) {
+  int m = 0, p = 0;
+  while (s[p]) {
+    int64_t x = 0;
+    int k = 0;
+    bool more = true;
+    while (more) {
+      int64_t c = (int64_t)s[p] - 48;
+      if (s[p] == 0) return -1;
+      x |= (c & 0x1f) << (5 * k);
+      more = (c & 0x20) != 0;
+      ++p; ++k;
+      if (!more && (c & 0x10)) x |= (int64_t)(-1) << (5 * k);
+    }
+    if (m > 2) x += (int64_t)counts[m - 2];
+    if (m >= max_m || x < 0) return -1;
+    counts[m++] = (uint32_t)x;
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
+// Polygon -> mask rasterization (even-odd rule sampled at pixel centers,
+// 5x supersampled boundary handling via center-point test).
+// xy: flat [x0,y0,x1,y1,...] of k vertices. Writes into mask (column-major,
+// caller-zeroed) with OR semantics so multiple polygons union together.
+// Note: this is a standard even-odd center-sample fill; pycocotools' rleFrPoly
+// uses an upsampled boundary walk whose boundary pixels can differ by <=1px.
+// GT and predictions both go through this rasterizer, so eval is
+// self-consistent (documented divergence: SURVEY.md §2.3).
+// ---------------------------------------------------------------------------
+void poly_to_mask(const double* xy, int k, int h, int w, uint8_t* mask) {
+  if (k < 3) return;
+  std::vector<double> xs(k), ys(k);
+  double ymin = 1e30, ymax = -1e30;
+  for (int i = 0; i < k; ++i) {
+    xs[i] = xy[2 * i];
+    ys[i] = xy[2 * i + 1];
+    ymin = std::min(ymin, ys[i]);
+    ymax = std::max(ymax, ys[i]);
+  }
+  int y0 = std::max(0, (int)std::floor(ymin));
+  int y1 = std::min(h - 1, (int)std::ceil(ymax));
+  std::vector<double> nodes;
+  for (int y = y0; y <= y1; ++y) {
+    double yc = y + 0.5;
+    nodes.clear();
+    for (int i = 0, j = k - 1; i < k; j = i++) {
+      double yi = ys[i], yj = ys[j];
+      if ((yi <= yc && yj > yc) || (yj <= yc && yi > yc)) {
+        double x = xs[i] + (yc - yi) / (yj - yi) * (xs[j] - xs[i]);
+        nodes.push_back(x);
+      }
+    }
+    std::sort(nodes.begin(), nodes.end());
+    for (size_t t = 0; t + 1 < nodes.size(); t += 2) {
+      int xa = std::max(0, (int)std::ceil(nodes[t] - 0.5));
+      int xb = std::min(w - 1, (int)std::floor(nodes[t + 1] - 0.5));
+      for (int x = xa; x <= xb; ++x) mask[(size_t)x * h + y] = 1;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Byte-level BPE with character offsets.
+//
+// The tokenizer object is created from vocab (token -> id, newline-separated
+// "token\tid") and merges ("left right" per line, rank = line order). Encoding
+// follows GPT-2/RoBERTa byte-level BPE over an ASCII-scope pre-tokenizer
+// (letter runs with leading space, digit runs, punctuation, contractions) and
+// returns per-token ids plus [start,end) character offsets with leading
+// whitespace trimmed (RoBERTa's trim_offsets=True behavior), so that
+// char_to_token(space) misses, matching the reference's probing fallbacks
+// (datasets/tdod.py:155-170).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BPE {
+  std::unordered_map<std::string, int> vocab;
+  std::map<std::pair<std::string, std::string>, int> merge_rank;
+  int unk_id = 3;
+};
+
+std::vector<BPE*> g_bpes;
+
+// GPT-2 byte -> printable unicode char mapping (as UTF-8 strings).
+std::string byte_to_unicode(uint8_t b) {
+  // printable ASCII + latin-1 ranges map to themselves; the rest shift by 256.
+  int cp;
+  if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255))
+    cp = b;
+  else {
+    // assign in order: bytes not in the ranges above get 256+n
+    static std::vector<int> table = [] {
+      std::vector<int> t(256, -1);
+      int n = 0;
+      for (int i = 0; i < 256; ++i) {
+        bool keep = (i >= 33 && i <= 126) || (i >= 161 && i <= 172) ||
+                    (i >= 174 && i <= 255);
+        if (keep) t[i] = i;
+        else t[i] = 256 + n++;
+      }
+      return t;
+    }();
+    cp = table[b];
+  }
+  // UTF-8 encode codepoint.
+  std::string s;
+  if (cp < 0x80) s += (char)cp;
+  else if (cp < 0x800) {
+    s += (char)(0xC0 | (cp >> 6));
+    s += (char)(0x80 | (cp & 0x3F));
+  } else {
+    s += (char)(0xE0 | (cp >> 12));
+    s += (char)(0x80 | ((cp >> 6) & 0x3F));
+    s += (char)(0x80 | (cp & 0x3F));
+  }
+  return s;
+}
+
+bool is_letter(char c) {
+  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+         (unsigned char)c >= 0x80;
+}
+bool is_digit(char c) { return c >= '0' && c <= '9'; }
+bool is_space(char c) { return c == ' ' || c == '\t' || c == '\n' || c == '\r'; }
+
+// Pre-tokenize ASCII-scope text following the GPT-2 pattern:
+// 's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
+// Emits [start, end) spans (leading space included in the span).
+void pretokenize(const std::string& text,
+                 std::vector<std::pair<int, int>>* spans) {
+  int n = (int)text.size(), i = 0;
+  while (i < n) {
+    int start = i;
+    char c = text[i];
+    // contractions
+    if (c == '\'' && i + 1 < n) {
+      auto try_suffix = [&](const char* sfx) {
+        int len = (int)strlen(sfx);
+        if (i + len <= n && strncmp(text.c_str() + i, sfx, len) == 0) {
+          spans->emplace_back(i, i + len);
+          i += len;
+          return true;
+        }
+        return false;
+      };
+      if (try_suffix("'re") || try_suffix("'ve") || try_suffix("'ll") ||
+          try_suffix("'s") || try_suffix("'t") || try_suffix("'m") ||
+          try_suffix("'d"))
+        continue;
+    }
+    int j = i;
+    bool lead_space = false;
+    if (c == ' ' && j + 1 < n && !is_space(text[j + 1])) {
+      lead_space = true;
+      ++j;
+      c = text[j];
+    }
+    if (is_letter(c)) {
+      int kk = j;
+      while (kk < n && is_letter(text[kk])) ++kk;
+      spans->emplace_back(start, kk);
+      i = kk;
+    } else if (is_digit(c)) {
+      int kk = j;
+      while (kk < n && is_digit(text[kk])) ++kk;
+      spans->emplace_back(start, kk);
+      i = kk;
+    } else if (is_space(c) && !lead_space) {
+      int kk = i;
+      while (kk < n && is_space(text[kk])) ++kk;
+      // trailing whitespace run before non-space keeps last space attached to
+      // next token (\s+(?!\S) semantics).
+      if (kk < n && kk - i > 1) --kk;
+      if (kk > i) {
+        spans->emplace_back(i, kk);
+        i = kk;
+      } else {
+        spans->emplace_back(i, i + 1);
+        ++i;
+      }
+    } else {
+      int kk = j;
+      while (kk < n && !is_space(text[kk]) && !is_letter(text[kk]) &&
+             !is_digit(text[kk]))
+        ++kk;
+      spans->emplace_back(start, kk);
+      i = kk;
+    }
+  }
+}
+
+}  // namespace
+
+// Create tokenizer from vocab + merges strings. Returns handle (>=0).
+int bpe_create(const char* vocab_txt, const char* merges_txt, int unk_id) {
+  BPE* bpe = new BPE();
+  bpe->unk_id = unk_id;
+  {
+    const char* p = vocab_txt;
+    while (*p) {
+      const char* tab = strchr(p, '\t');
+      if (!tab) break;
+      const char* nl = strchr(tab, '\n');
+      if (!nl) nl = tab + strlen(tab);
+      std::string tok(p, tab - p);
+      int id = atoi(std::string(tab + 1, nl - tab - 1).c_str());
+      bpe->vocab[tok] = id;
+      p = (*nl) ? nl + 1 : nl;
+    }
+  }
+  {
+    const char* p = merges_txt;
+    int rank = 0;
+    while (*p) {
+      const char* nl = strchr(p, '\n');
+      if (!nl) nl = p + strlen(p);
+      std::string line(p, nl - p);
+      size_t sp = line.find(' ');
+      if (sp != std::string::npos && !line.empty() && line[0] != '#') {
+        bpe->merge_rank[{line.substr(0, sp), line.substr(sp + 1)}] = rank++;
+      }
+      p = (*nl) ? nl + 1 : nl;
+    }
+  }
+  g_bpes.push_back(bpe);
+  return (int)g_bpes.size() - 1;
+}
+
+void bpe_free(int handle) {
+  if (handle >= 0 && handle < (int)g_bpes.size() && g_bpes[handle]) {
+    delete g_bpes[handle];
+    g_bpes[handle] = nullptr;
+  }
+}
+
+// Encode text. Outputs ids and char offsets [start,end) per token (leading
+// whitespace trimmed from offsets). Returns token count, or -1 on error.
+int bpe_encode(int handle, const char* text_c, int* ids, int* starts,
+               int* ends, int max_tokens) {
+  if (handle < 0 || handle >= (int)g_bpes.size() || !g_bpes[handle]) return -1;
+  const BPE& bpe = *g_bpes[handle];
+  std::string text(text_c);
+  std::vector<std::pair<int, int>> spans;
+  pretokenize(text, &spans);
+
+  int nt = 0;
+  for (auto& sp : spans) {
+    int start = sp.first, end = sp.second;
+    // Byte-level symbols for this pre-token, one per input byte.
+    std::vector<std::string> syms;
+    std::vector<int> sym_start, sym_end;  // char offsets per symbol
+    for (int i = start; i < end; ++i) {
+      syms.push_back(byte_to_unicode((uint8_t)text[i]));
+      sym_start.push_back(i);
+      sym_end.push_back(i + 1);
+    }
+    // Greedy lowest-rank merge loop.
+    while (syms.size() > 1) {
+      int best = std::numeric_limits<int>::max(), bi = -1;
+      for (size_t i = 0; i + 1 < syms.size(); ++i) {
+        auto it = bpe.merge_rank.find({syms[i], syms[i + 1]});
+        if (it != bpe.merge_rank.end() && it->second < best) {
+          best = it->second;
+          bi = (int)i;
+        }
+      }
+      if (bi < 0) break;
+      syms[bi] += syms[bi + 1];
+      sym_end[bi] = sym_end[bi + 1];
+      syms.erase(syms.begin() + bi + 1);
+      sym_start.erase(sym_start.begin() + bi + 1);
+      sym_end.erase(sym_end.begin() + bi + 1);
+    }
+    for (size_t i = 0; i < syms.size(); ++i) {
+      if (nt >= max_tokens) return nt;
+      auto it = bpe.vocab.find(syms[i]);
+      ids[nt] = (it != bpe.vocab.end()) ? it->second : bpe.unk_id;
+      // Trim leading whitespace from offsets (RoBERTa trim_offsets=True).
+      int s = sym_start[i];
+      while (s < sym_end[i] && is_space(text[s])) ++s;
+      starts[nt] = s;
+      ends[nt] = sym_end[i];
+      ++nt;
+    }
+  }
+  return nt;
+}
+
+}  // extern "C"

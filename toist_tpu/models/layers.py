@@ -1,0 +1,97 @@
+"""Shared transformer building blocks (batch-first, flax.linen).
+
+Matches torch nn.MultiheadAttention semantics (separate per-head projections with an
+output projection; key_padding_mask excludes padded keys) so the torch->JAX checkpoint
+converter can unpack the reference's packed in_proj weights (SURVEY.md §7 hard part 3).
+Layout is batch-first [B, S, D] throughout — the reference's seq-first layout is a
+torch idiosyncrasy with no TPU benefit.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-negative fill for masked attention logits (finite: keeps
+                # softmax well-defined for fully-masked rows of padded samples)
+
+
+class MultiheadAttention(nn.Module):
+    """q/k/v Linear -> scaled dot-product -> out Linear, with key padding mask."""
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value,
+                 key_padding_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        """query [B,Q,D], key/value [B,S,D], key_padding_mask [B,S] True=pad."""
+        D, H = self.embed_dim, self.num_heads
+        hd = D // H
+        dense = lambda name: nn.Dense(D, dtype=self.dtype, name=name)
+        q = dense("q_proj")(query)
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+        B, Q, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, Q, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhsd->bhqs", q, k,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(
+                                jnp.float32(hd))
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF,
+                               logits)
+        attn = nn.softmax(logits, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqs,bhsd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Q, D)
+        return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+
+
+class FFN(nn.Module):
+    d_model: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        return h
+
+
+class MLP(nn.Module):
+    """Simple multi-layer perceptron (reference models/mdetr.py MLP head)."""
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 name=f"layer{i}")(x))
+        return nn.Dense(self.output_dim, dtype=self.dtype,
+                        name=f"layer{self.num_layers - 1}")(x)
+
+
+class FeatureResizer(nn.Module):
+    """Linear + LayerNorm(eps 1e-12) + dropout (reference transformer.py:473-492)."""
+    output_dim: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")(x)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="layer_norm")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -1,0 +1,155 @@
+"""ResNet backbone with frozen BatchNorm, NHWC, in flax.linen.
+
+Behavioral spec: /root/reference/models/backbone.py — FrozenBatchNorm2d (buffers only,
+eps inside rsqrt, :21-58), layer1 frozen, optional last-block dilation (:83-91),
+returns C2..C5 when masks are on else C5 only (:61-80), per-level padding masks by
+nearest-downsampling the image pad mask (:78).
+
+TPU-first divergences: NHWC layout (XLA:TPU's native conv layout), norm layer is
+configurable — "frozen_bn" reproduces the reference exactly (an affine with precomputed
+scale/bias, what FrozenBN reduces to), "group_norm" enables from-scratch training
+(the reference's GroupNormBackbone variant, backbone.py:99-114). Freezing of layer1 is
+handled by optimizer param-group masking, not by the module.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBN(nn.Module):
+    """y = x * scale + bias with non-trainable statistics.
+
+    Parameters mirror torch FrozenBatchNorm2d buffers (weight, bias, running_mean,
+    running_var); forward computes weight * rsqrt(var + eps) * x + (bias - mean * s),
+    eps inside the rsqrt like backbone.py:52-58.
+    """
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init1 = nn.initializers.ones
+        init0 = nn.initializers.zeros
+        weight = self.variable("frozen", "weight", init1, None, (self.features,))
+        bias = self.variable("frozen", "bias", init0, None, (self.features,))
+        mean = self.variable("frozen", "running_mean", init0, None, (self.features,))
+        var = self.variable("frozen", "running_var", init1, None, (self.features,))
+        scale = weight.value / jnp.sqrt(var.value + self.eps)
+        shift = bias.value - mean.value * scale
+        return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+
+def _norm(norm_type: str, features: int, dtype):
+    if norm_type == "frozen_bn":
+        return FrozenBN(features, dtype=dtype)
+    if norm_type == "group_norm":
+        return nn.GroupNorm(num_groups=32, dtype=dtype)
+    raise ValueError(norm_type)
+
+
+class Bottleneck(nn.Module):
+    features: int           # bottleneck width; output = features * 4
+    strides: int = 1
+    dilation: int = 1
+    norm_type: str = "frozen_bn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = _norm(self.norm_type, self.features, self.dtype)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                      padding=[(self.dilation, self.dilation)] * 2,
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = _norm(self.norm_type, self.features, self.dtype)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv3")(out)
+        out = _norm(self.norm_type, self.features * 4, self.dtype)(out)
+        if residual.shape[-1] != self.features * 4 or self.strides != 1:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = _norm(self.norm_type, self.features * 4,
+                             self.dtype)(residual)
+        return nn.relu(out + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101 trunk emitting {layer1..layer4} feature maps (NHWC).
+
+    When ``pad_mask`` ([B, H, W] bool, True = padding) is given, features in the
+    padded canvas region are zeroed after the stem and after every stage. This
+    makes outputs exactly invariant to canvas size under zero padding — a
+    property the reference does NOT have (its max-pool/conv windows leak image
+    values into the padded region, so its outputs depend on per-batch padding),
+    and which static bucketed batching relies on for determinism.
+    """
+    stage_sizes: Sequence[int] = (3, 4, 23, 3)  # resnet101
+    norm_type: str = "frozen_bn"
+    dilation: bool = False                       # dilate last stage (backbone.py:88)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None) -> Dict[str, jnp.ndarray]:
+        def apply_mask(feat):
+            if pad_mask is None:
+                return feat
+            fh, fw = feat.shape[1], feat.shape[2]
+            m = downsample_mask(pad_mask, fh, fw)
+            return jnp.where(m[..., None], 0.0, feat).astype(feat.dtype)
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = _norm(self.norm_type, 64, self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = apply_mask(x)
+        feats = {}
+        widths = (64, 128, 256, 512)
+        for si, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            last = si == len(self.stage_sizes) - 1
+            stride = 1 if si == 0 or (last and self.dilation) else 2
+            dil = 2 if (last and self.dilation) else 1
+            for bi in range(blocks):
+                x = Bottleneck(width,
+                               strides=stride if bi == 0 else 1,
+                               dilation=dil,
+                               norm_type=self.norm_type, dtype=self.dtype,
+                               name=f"layer{si + 1}_{bi}")(x)
+            x = apply_mask(x)
+            feats[f"layer{si + 1}"] = x
+        return feats
+
+
+def resnet_num_channels() -> int:
+    return 2048
+
+
+def make_resnet(name: str, norm_type: str, dilation: bool, dtype) -> ResNet:
+    sizes = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+             "resnet18-test": (1, 1, 1, 1)}
+    if name not in sizes:
+        raise ValueError(f"unknown backbone {name}")
+    return ResNet(stage_sizes=sizes[name], norm_type=norm_type,
+                  dilation=dilation, dtype=dtype)
+
+
+def downsample_mask(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Image pad mask [B, H, W] bool -> feature-level mask [B, h, w].
+
+    Reference interpolates the float mask (backbone.py:78); nearest sampling at
+    feature-cell top-left corners is equivalent for block padding."""
+    B, H, W = mask.shape
+    ys = (jnp.arange(h) * (H / h)).astype(jnp.int32)
+    xs = (jnp.arange(w) * (W / w)).astype(jnp.int32)
+    return mask[:, ys][:, :, xs]

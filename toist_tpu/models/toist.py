@@ -1,0 +1,177 @@
+"""The TOIST model: backbone + text encoder + joint encoder + query decoder + heads.
+
+Behavioral spec: /root/reference/models/mdetr.py:315-462 (MDETR class) and
+models/transformer.py:86-188 (two-phase protocol). The two observable seams are kept
+(SURVEY.md §7 design stance):
+  * ``encode``   -> memory_cache dict (Appendix B contract, batch-first arrays)
+  * ``decode``   -> {pred_logits, pred_boxes, aux_*, proj_*}
+so the cluster-distillation machinery can modify ``img_memory`` between the phases
+(mdetr.py:399-418). ``forward`` fuses both for plain inference.
+
+TPU-first divergences: batch-first layouts, NHWC backbone, text tokenization happens
+in the data pipeline (ids arrive as static [B, T] arrays), mixed bf16 compute via the
+``dtype`` field with f32 heads/softmax.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from toist_tpu.config import ModelConfig
+from toist_tpu.models.joint_transformer import JointEncoder, QueryDecoder
+from toist_tpu.models.layers import MLP, FeatureResizer
+from toist_tpu.models.position_encoding import sine_position_embedding
+from toist_tpu.models.resnet import downsample_mask, make_resnet
+from toist_tpu.models.text_encoder import RobertaEncoder
+
+
+class TOIST(nn.Module):
+    cfg: ModelConfig
+    # Text encoder size knobs (roberta-base defaults; tests shrink these).
+    text_vocab_size: int = 50265
+    text_hidden: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    text_intermediate: int = 3072
+    backbone_norm: str = "frozen_bn"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        dt = self.compute_dtype
+        self.backbone = make_resnet(cfg.backbone, self.backbone_norm,
+                                    cfg.dilation, dt)
+        self.input_proj = nn.Conv(cfg.hidden_dim, (1, 1), dtype=dt,
+                                  name="input_proj")
+        self.text_encoder = RobertaEncoder(
+            vocab_size=self.text_vocab_size, hidden_size=self.text_hidden,
+            num_layers=self.text_layers, num_heads=self.text_heads,
+            intermediate_size=self.text_intermediate, dropout=cfg.dropout,
+            dtype=dt, name="text_encoder")
+        self.resizer = FeatureResizer(cfg.hidden_dim, dropout=0.1, dtype=dt,
+                                      name="resizer")
+        self.encoder = JointEncoder(cfg.hidden_dim, cfg.nheads, cfg.enc_layers,
+                                    cfg.dim_feedforward, cfg.dropout, dt,
+                                    name="encoder")
+        self.decoder = QueryDecoder(cfg.hidden_dim, cfg.nheads, cfg.dec_layers,
+                                    cfg.dim_feedforward, cfg.dropout, dt,
+                                    name="decoder")
+        self.query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (cfg.num_queries, cfg.hidden_dim))
+        self.class_embed = nn.Dense(cfg.num_classes + 1, dtype=jnp.float32,
+                                    name="class_embed")
+        self.bbox_embed = MLP(cfg.hidden_dim, 4, 3, dtype=jnp.float32,
+                              name="bbox_embed")
+        if cfg.contrastive_align_loss:
+            self.proj_image = nn.Dense(cfg.contrastive_hdim, dtype=jnp.float32,
+                                       name="contrastive_align_projection_image")
+            self.proj_text = nn.Dense(cfg.contrastive_hdim, dtype=jnp.float32,
+                                      name="contrastive_align_projection_text")
+
+    def encode(self, images: jnp.ndarray, image_mask: jnp.ndarray,
+               text_ids: jnp.ndarray, text_mask: jnp.ndarray,
+               deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """Phase 1 (mdetr.py:377-394 + transformer.py:98-168).
+
+        Args: images [B,H,W,3] f32, image_mask [B,H,W] True=pad,
+              text_ids [B,T] i32, text_mask [B,T] True=pad.
+        Returns memory_cache (batch-first), incl. features for the mask head.
+        """
+        dt = self.compute_dtype
+        feats = self.backbone(images.astype(dt), pad_mask=image_mask)
+        src = feats["layer4"]
+        B, fh, fw, _ = src.shape
+        fmask = downsample_mask(image_mask, fh, fw)
+        pos = sine_position_embedding(fmask, self.cfg.hidden_dim // 2, dtype=dt)
+        src = self.input_proj(src)
+
+        img_tokens = src.reshape(B, fh * fw, self.cfg.hidden_dim)
+        pos_tokens = pos.reshape(B, fh * fw, self.cfg.hidden_dim)
+        img_token_mask = fmask.reshape(B, fh * fw)
+
+        text_last = self.text_encoder(text_ids, key_padding_mask=text_mask,
+                                      deterministic=deterministic)
+        text_resized = self.resizer(text_last, deterministic=deterministic)
+
+        joint = jnp.concatenate([img_tokens, text_resized.astype(dt)], axis=1)
+        joint_mask = jnp.concatenate([img_token_mask, text_mask], axis=1)
+        joint_pos = jnp.concatenate(
+            [pos_tokens, jnp.zeros_like(text_resized, dtype=dt)], axis=1)
+
+        img_memory = self.encoder(joint, joint_pos, joint_mask,
+                                  deterministic=deterministic)
+        T = text_ids.shape[1]
+        memory_cache = {
+            "text_memory_resized": text_resized,
+            "text_memory": img_memory[:, -T:],
+            "img_memory": img_memory,
+            "mask": joint_mask,
+            "text_attention_mask": text_mask,
+            "pos_embed": joint_pos,
+            "feature_hw": (fh, fw),
+            # mask-head inputs (reference segmentation.py:77-78)
+            "features_c2": feats["layer1"],
+            "features_c3": feats["layer2"],
+            "features_c4": feats["layer3"],
+            "src_proj": src,
+            "feature_mask": fmask,
+        }
+        return memory_cache
+
+    def decode(self, memory_cache: Dict[str, jnp.ndarray],
+               deterministic: bool = True,
+               use_modified_memory: bool = False) -> Dict[str, jnp.ndarray]:
+        """Phase 2 (mdetr.py:396-462): decoder over (possibly modified) memory."""
+        mem_key = "img_memory_mod" if use_modified_memory else "img_memory"
+        memory = memory_cache[mem_key]
+        B = memory.shape[0]
+        dt = self.compute_dtype
+        query_pos = jnp.broadcast_to(
+            self.query_embed.astype(dt)[None],
+            (B,) + self.query_embed.shape)
+        tgt = jnp.zeros_like(query_pos)
+        hs = self.decoder(tgt, memory, query_pos, memory_cache["pos_embed"],
+                          memory_cache["mask"], deterministic=deterministic)
+        hs32 = hs.astype(jnp.float32)
+        outputs_class = self.class_embed(hs32)          # [L, B, Q, C+1]
+        outputs_coord = nn.sigmoid(self.bbox_embed(hs32))
+        out = {
+            "pred_logits": outputs_class[-1],
+            "pred_boxes": outputs_coord[-1],
+            "aux_pred_logits": outputs_class[:-1],
+            "aux_pred_boxes": outputs_coord[:-1],
+            "hs": hs32,
+        }
+        if self.cfg.contrastive_align_loss:
+            pq = self.proj_image(hs32)
+            pt = self.proj_text(memory_cache["text_memory"].astype(jnp.float32))
+            pq = pq / jnp.linalg.norm(pq, axis=-1, keepdims=True).clip(1e-6)
+            pt = pt / jnp.linalg.norm(pt, axis=-1, keepdims=True).clip(1e-6)
+            out["proj_queries"] = pq[-1]
+            out["proj_tokens"] = pt
+            out["aux_proj_queries"] = pq[:-1]
+        return out
+
+    def __call__(self, images, image_mask, text_ids, text_mask,
+                 deterministic: bool = True):
+        """Fused encode+decode for plain inference/training without cluster."""
+        cache = self.encode(images, image_mask, text_ids, text_mask,
+                            deterministic)
+        return self.decode(cache, deterministic), cache
+
+
+def build_model(cfg: ModelConfig, text_vocab_size: int = 50265,
+                tiny_text: bool = False, backbone_norm: Optional[str] = None) -> TOIST:
+    kwargs: Dict[str, Any] = dict(cfg=cfg, text_vocab_size=text_vocab_size)
+    if tiny_text:
+        kwargs.update(text_hidden=64, text_layers=2, text_heads=4,
+                      text_intermediate=128)
+    if backbone_norm is not None:
+        kwargs["backbone_norm"] = backbone_norm
+    return TOIST(**kwargs)

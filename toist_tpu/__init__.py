@@ -9,23 +9,21 @@ __version__ = "0.1.0"
 
 
 def _enable_persistent_compile_cache() -> None:
-    """Turn on JAX's persistent compilation cache unless the user opted out.
+    """Opt-in persistent compilation cache (TOIST_COMPILE_CACHE_DIR=<dir>).
 
-    The matcher/train-step compiles are expensive (minutes); caching them across
-    processes makes every entry point after the first fast.
+    Off by default: on this platform the cache key/lookup path itself costs
+    minutes per process (measured: the same train-step script runs 60s without
+    a cache dir configured and >300s with one), defeating the purpose.
     """
-    if os.environ.get("TOIST_NO_COMPILE_CACHE"):
+    cache_dir = os.environ.get("TOIST_COMPILE_CACHE_DIR")
+    if not cache_dir:
         return
     import jax
 
     if jax.config.jax_compilation_cache_dir is None:
-        cache_dir = os.environ.get(
-            "TOIST_COMPILE_CACHE_DIR",
-            os.path.expanduser("~/.cache/toist_tpu_xla"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 60.0)
 
 
 _enable_persistent_compile_cache()

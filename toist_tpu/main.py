@@ -1,0 +1,214 @@
+"""Training / evaluation driver (the reference's main.py:277-742 equivalent).
+
+Workflow: config -> tokenizer (HF vocab files if present, else a BPE trained on the
+dataset's closed caption vocabulary) -> per-task datasets -> model -> optimizer ->
+TrainState (fresh / --load warm start / --resume) -> epoch loop with per-epoch
+checkpoint, eval every eval_skip epochs, best-checkpoint tracking on mean AP@0.5
+(main.py:599-738).
+
+Run:  python -m toist_tpu.main --config configs/fixture.json [--eval] [--resume P]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from toist_tpu.config import Config
+from toist_tpu.data.batcher import BatchIterator, BucketSpec, default_buckets
+from toist_tpu.data.cocotasks import TASKS, build_task_dataset
+from toist_tpu.data.tokenizer import RobertaBPE
+from toist_tpu.eval.evaluator import mean_ap50
+from toist_tpu.models.toist import build_model
+from toist_tpu.parallel import mesh as mesh_lib
+from toist_tpu.train import checkpoint as ckpt
+from toist_tpu.train import engine
+from toist_tpu.train.criterion import build_weight_dict
+from toist_tpu.train.optim import make_optimizer
+from toist_tpu.train.step import (init_train_state, make_eval_step,
+                                  make_train_step, split_variables)
+from toist_tpu.train.state import TrainState
+from toist_tpu.utils.logging import JsonlLogger
+
+
+def build_tokenizer(cfg: Config) -> RobertaBPE:
+    """HF roberta-base vocab files if available (parity path), else train a BPE
+    on every caption this dataset can produce (offline path)."""
+    ann = cfg.data.refexp_ann_path
+    vocab_json = os.path.join(ann, "vocab.json") if ann else ""
+    merges_txt = os.path.join(ann, "merges.txt") if ann else ""
+    if vocab_json and os.path.exists(vocab_json) and os.path.exists(merges_txt):
+        return RobertaBPE.from_pretrained_files(vocab_json, merges_txt)
+    corpus = [t + "something" for t in TASKS.values()]
+    id2name = os.path.join(ann, "id2name.json") if ann else ""
+    if id2name and os.path.exists(id2name):
+        with open(id2name) as f:
+            names = list(json.load(f).values())
+        corpus += [t + n for t in TASKS.values() for n in names]
+    return RobertaBPE.train(corpus, vocab_size=2048)
+
+
+def build_all(cfg: Config, image_set_for_eval: str = "val"):
+    tokenizer = build_tokenizer(cfg)
+    model = build_model(cfg.model, text_vocab_size=tokenizer.vocab_size)
+    spec = BucketSpec(
+        buckets=cfg.data.image_buckets if cfg.data.image_buckets else
+        default_buckets(cfg.data.max_size, 800),
+        max_text_len=cfg.data.max_text_len, max_boxes=cfg.data.max_boxes,
+        num_logit_cols=cfg.data.num_logit_cols, with_masks=cfg.model.masks)
+    return tokenizer, model, spec
+
+
+def main(cfg: Config) -> Optional[float]:
+    mesh = mesh_lib.make_mesh(cfg.run.mesh_shape, cfg.run.mesh_axes)
+    tokenizer, model, spec = build_all(cfg)
+    jsonl = JsonlLogger(cfg.run.output_dir)
+
+    train_sets = []
+    if not cfg.run.eval_only:
+        train_sets = [build_task_dataset(cfg.data, t, "train", tokenizer,
+                                         masks=cfg.model.masks,
+                                         distillation=cfg.loss.distillation)
+                      for t in cfg.data.tasks]
+    val_sets = {t: build_task_dataset(cfg.data, t, "val", tokenizer,
+                                      masks=cfg.model.masks)
+                for t in cfg.data.tasks}
+
+    train_iter = None
+    steps_per_epoch = 100
+    if train_sets:
+        train_iter = BatchIterator(
+            train_sets, spec, batch_size=cfg.optim.train_batch_size,
+            seed=cfg.run.seed, shuffle=True,
+            shard_id=jax.process_index(), num_shards=jax.process_count())
+        steps_per_epoch = max(1, len(train_iter))
+    total_steps = steps_per_epoch * cfg.optim.epochs
+
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch, total_steps)
+    weight_dict = build_weight_dict(cfg.loss, cfg.model.masks,
+                                    cfg.model.dec_layers)
+
+    # A minimal sample batch for shape-complete init.
+    sample = _dummy_batch(spec, cfg.optim.train_batch_size)
+    state, frozen = init_train_state(model, cfg, optimizer, sample,
+                                     seed=cfg.run.seed)
+    start_epoch = cfg.run.start_epoch
+    if cfg.run.resume:
+        state, frozen, start_epoch = ckpt.restore(cfg.run.resume, state, frozen)
+        start_epoch += 1
+    elif cfg.run.load:
+        params, frozen = ckpt.load_params(cfg.run.load, prefer_ema=True)
+        state = state.replace(params=params)
+
+    state = mesh_lib.replicate_tree(state, mesh)
+    frozen = mesh_lib.replicate_tree(frozen, mesh)
+
+    train_step = make_train_step(model, cfg, weight_dict, optimizer, frozen,
+                                 with_masks=cfg.model.masks)
+    eval_step = make_eval_step(model, cfg, weight_dict, frozen,
+                               with_masks=cfg.model.masks)
+    rng = jax.random.PRNGKey(cfg.run.seed)
+
+    def run_eval(params) -> float:
+        results = engine.evaluate(
+            eval_step, params, val_sets, spec,
+            batch_size=cfg.optim.valid_batch_size, mesh=mesh,
+            iou_types=("bbox",) if not cfg.model.masks else ("bbox", "segm"))
+        m = mean_ap50(results)
+        jsonl.write({"kind": "eval", "mean_ap50": m,
+                     "per_task": {t: {k: v.tolist() for k, v in s.items()}
+                                  for t, s in results.items()}})
+        return m
+
+    if cfg.run.eval_only:
+        params = state.ema_params if (cfg.optim.ema and state.ema_params
+                                      is not None) else state.params
+        return run_eval(params)
+
+    best_map = -1.0
+    for epoch in range(start_epoch, cfg.optim.epochs):
+        t0 = time.time()
+        state, train_stats = engine.train_one_epoch(
+            train_step, state, train_iter, epoch, rng, mesh=mesh, jsonl=jsonl)
+        jsonl.write({"kind": "epoch", "epoch": epoch,
+                     "seconds": time.time() - t0, **train_stats})
+        if cfg.run.output_dir and jax.process_index() == 0:
+            ckpt.save(os.path.join(cfg.run.output_dir, "checkpoint"),
+                      jax.device_get(state), jax.device_get(frozen), epoch)
+        if epoch % cfg.optim.eval_skip == 0:
+            params = state.ema_params if cfg.optim.ema else state.params
+            m = run_eval(params)
+            if m > best_map and cfg.run.output_dir and jax.process_index() == 0:
+                best_map = m
+                ckpt.save(os.path.join(cfg.run.output_dir, "BEST_checkpoint"),
+                          jax.device_get(state), jax.device_get(frozen), epoch)
+    return best_map
+
+
+def _dummy_batch(spec: BucketSpec, batch_size: int) -> Dict[str, np.ndarray]:
+    bh, bw = spec.buckets[0]
+    B, N, T, L = batch_size, spec.max_boxes, spec.max_text_len, \
+        spec.num_logit_cols
+    batch = {
+        "images": np.zeros((B, bh, bw, 3), np.float32),
+        "image_mask": np.ones((B, bh, bw), bool),
+        "text_ids": np.full((B, T), 1, np.int32),
+        "text_mask": np.ones((B, T), bool),
+        "boxes": np.zeros((B, N, 4), np.float32),
+        "labels": np.zeros((B, N), np.int64),
+        "box_valid": np.zeros((B, N), bool),
+        "positive_map": np.zeros((B, N, L), np.float32),
+        "noun_token_spans": np.full((B, N, 2), -1, np.int32),
+        "sample_valid": np.zeros((B,), bool),
+        "image_id": np.zeros((B,), np.int64),
+        "task_id": np.zeros((B,), np.int32),
+        "orig_size": np.ones((B, 2), np.int32),
+        "size": np.ones((B, 2), np.int32),
+    }
+    if spec.with_masks:
+        from toist_tpu.data.batcher import MASK_STRIDE
+        batch["gt_masks"] = np.zeros(
+            (B, N, bh // MASK_STRIDE, bw // MASK_STRIDE), np.uint8)
+    return batch
+
+
+def parse_args(argv=None) -> Config:
+    p = argparse.ArgumentParser(description="TPU-native TOIST")
+    p.add_argument("--config", default=None, help="json config file")
+    p.add_argument("--set", nargs="*", default=[],
+                   help="overrides like optim.lr=1e-4 model.masks=true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--resume", default="")
+    p.add_argument("--load", default="")
+    p.add_argument("--output-dir", default="")
+    args = p.parse_args(argv)
+
+    overrides: Dict[str, dict] = {}
+    for kv in args.set:
+        key, val = kv.split("=", 1)
+        sec, name = key.split(".", 1)
+        try:
+            val = json.loads(val)
+        except json.JSONDecodeError:
+            pass
+        overrides.setdefault(sec, {})[name] = val
+    run = overrides.setdefault("run", {})
+    if args.eval:
+        run["eval_only"] = True
+    if args.resume:
+        run["resume"] = args.resume
+    if args.load:
+        run["load"] = args.load
+    if args.output_dir:
+        run["output_dir"] = args.output_dir
+    return Config.from_sources(args.config, overrides)
+
+
+if __name__ == "__main__":
+    main(parse_args())

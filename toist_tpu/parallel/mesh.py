@@ -1,0 +1,44 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is data parallelism via DDP (SURVEY.md §2.2); here
+that is a 1-D ('data',) jax.sharding.Mesh: batches shard on 'data', parameters are
+replicated, XLA inserts the gradient psum over ICI. Optimizer state can optionally
+shard over 'data' (ZeRO-1-ish, RunConfig.shard_opt_state).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape=(-1,), axes=("data",),
+              devices: Optional[list] = None) -> Mesh:
+    devs = np.array(devices if devices is not None else jax.devices())
+    shape = list(mesh_shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(devs) // known
+    return Mesh(devs.reshape(shape), axes)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Host numpy batch -> device arrays sharded on the data axis."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,49 @@
+"""Checkpoint save/restore via Orbax.
+
+Reference format: one torch dict {model, model_ema, model_noun, model_noun_ema,
+optimizer, epoch, args, cluster_criterion} written per epoch by rank 0
+(main.py:641-652). Here the TrainState pytree (+ frozen collections + epoch) goes
+through orbax's atomic async-capable checkpointer; the three load modes (--load
+warm-start, --resume full restore, --frozen_weights into a submodule) map to
+`load_params` / `restore` / caller-side tree surgery.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from toist_tpu.train.state import TrainState
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save(path: str, state: TrainState, frozen: Any, epoch: int) -> None:
+    """Atomic full-state save (rank 0 writes under multihost orbax)."""
+    payload = {"state": state, "frozen": frozen, "epoch": epoch}
+    _ckptr().save(os.path.abspath(path), payload, force=True)
+
+
+def restore(path: str, template_state: TrainState,
+            template_frozen: Any) -> Tuple[TrainState, Any, int]:
+    """Full training restore (--resume, main.py:491-531)."""
+    payload = _ckptr().restore(
+        os.path.abspath(path),
+        item={"state": template_state, "frozen": template_frozen, "epoch": 0})
+    return payload["state"], payload["frozen"], int(payload["epoch"])
+
+
+def load_params(path: str, prefer_ema: bool = True) -> Tuple[Any, Any]:
+    """Weights-only warm start (--load, main.py:456-473: EMA key preferred).
+
+    Returns (params, frozen)."""
+    payload = _ckptr().restore(os.path.abspath(path))
+    state = payload["state"]
+    params = state.get("ema_params") if prefer_ema else None
+    if params is None:
+        params = state["params"]
+    return params, payload["frozen"]

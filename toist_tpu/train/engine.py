@@ -1,0 +1,84 @@
+"""Train/eval epoch loops (the reference's engine.py, host-side orchestration).
+
+train_one_epoch: iterate bucketed batches, run the jitted step, meter scalars,
+NaN hard-stop (engine.py:82-85). evaluate: per-task loop -> TaskEvaluator ->
+stats vectors + 14-task mean AP@0.5 (engine.py:253-342, main.py:581-590).
+"""
+from __future__ import annotations
+
+import sys
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from toist_tpu.data.batcher import BatchIterator, BucketSpec
+from toist_tpu.eval.evaluator import TaskEvaluator, gt_records_from_json, mean_ap50
+from toist_tpu.parallel import mesh as mesh_lib
+from toist_tpu.utils.logging import JsonlLogger, MetricLogger
+
+
+def train_one_epoch(train_step: Callable, state, batch_iter: BatchIterator,
+                    epoch: int, rng, mesh=None,
+                    jsonl: Optional[JsonlLogger] = None,
+                    print_freq: int = 10):
+    logger = MetricLogger(print_freq=print_freq, header=f"Epoch [{epoch}]")
+    n_batches = len(batch_iter)
+    # Host syncs are expensive; fetch scalars (and run the NaN guard,
+    # engine.py:82-85) only every print_freq steps so the device pipeline
+    # stays full between logging points.
+    i = 0
+    for batch in logger.log_every(batch_iter.epoch(epoch), total=n_batches):
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(batch, mesh)
+        state, scalars = train_step(state, batch, rng)
+        if i % print_freq == 0 or i == n_batches - 1:
+            host = {k: float(v) for k, v in scalars.items()
+                    if np.ndim(v) == 0}
+            if not host.get("loss_is_finite", 1.0):
+                print(f"Loss is not finite: {host}", flush=True)
+                sys.exit(1)
+            logger.update(**{k: v for k, v in host.items()
+                             if k in ("loss", "loss_ce", "loss_bbox",
+                                      "loss_giou", "grad_norm",
+                                      "loss_contrastive_align",
+                                      "loss_mask", "loss_dice")})
+            if jsonl is not None:
+                jsonl.write({"kind": "train_step", "epoch": epoch,
+                             "step": int(state.step), **host})
+        i += 1
+    return state, logger.summary()
+
+
+def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
+             spec: BucketSpec, batch_size: int, mesh=None,
+             iou_types=("bbox",), mask_postprocess: Optional[Callable] = None,
+             print_freq: int = 10) -> Dict[int, Dict[str, np.ndarray]]:
+    """Run per-task evaluation; returns {task_id: {'bbox': stats12, ...}}."""
+    results = {}
+    for task_id, ds in task_datasets.items():
+        gts = gt_records_from_json(ds.coco.dataset)
+        evaluator = TaskEvaluator(gts, iou_types=iou_types)
+        it = BatchIterator([ds], spec, batch_size=batch_size, shuffle=False)
+        logger = MetricLogger(print_freq=print_freq,
+                              header=f"Eval task {task_id}:")
+        for batch in logger.log_every(it.epoch(0), total=len(it)):
+            np_batch = batch
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(batch, mesh)
+            res = eval_step(params, batch)
+            post = {k: np.asarray(v) for k, v in res["post"].items()}
+            masks = None
+            if "segm" in iou_types and mask_postprocess is not None:
+                masks = mask_postprocess(res, np_batch)
+            evaluator.update(np_batch["image_id"], post["scores"],
+                             post["boxes"], valid=np_batch["sample_valid"],
+                             masks=masks)
+            logger.update(loss=float(np.asarray(res["scalars"]["loss"])))
+        evaluator.synchronize_between_processes()
+        results[task_id] = evaluator.summarize()
+        ap50 = results[task_id]["bbox"][1]
+        print(f"Task {task_id}: AP@0.5 = {ap50:.4f}", flush=True)
+    print(f"Mean AP@0.5 over {len(results)} tasks: "
+          f"{mean_ap50(results):.4f}", flush=True)
+    return results

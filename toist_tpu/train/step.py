@@ -1,0 +1,126 @@
+"""Jitted train / eval steps.
+
+One optimization step (reference engine.py:23-116 train_one_epoch_plain body):
+forward (two-phase fused), criterion with on-device Hungarian matching, weighted sum,
+grad, clip, AdamW update with per-group schedules, EMA — all inside a single jit
+compiled once per batch bucket. The NaN guard (engine.py:82-85) is returned as a
+finite-flag metric; the host loop decides to abort.
+
+Variable collections: the trainable 'params' collection lives in TrainState.params;
+non-trainable buffers (FrozenBN statistics, the 'frozen' collection — the analogue of
+the reference's FrozenBatchNorm2d buffers, backbone.py:21-58) ride along in
+TrainState via `frozen` and are never differentiated.
+
+Sharding: the caller places the batch with the 'data'-axis sharding and params
+replicated (parallel/mesh.py); XLA derives the gradient psum.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from toist_tpu.config import Config
+from toist_tpu.models.postprocess import postprocess_boxes
+from toist_tpu.train import criterion as crit
+from toist_tpu.train.optim import ema_update
+from toist_tpu.train.state import TrainState
+
+
+def split_variables(variables: Any) -> Tuple[Any, Dict[str, Any]]:
+    """flax init output -> (trainable params, frozen collections)."""
+    params = variables["params"]
+    frozen = {k: v for k, v in variables.items() if k != "params"}
+    return params, frozen
+
+
+def model_forward(model, params, frozen, batch, rngs=None, deterministic=True):
+    variables = {"params": params, **frozen}
+    return model.apply(
+        variables, batch["images"], batch["image_mask"], batch["text_ids"],
+        batch["text_mask"], deterministic=deterministic, rngs=rngs)
+
+
+def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
+                    optimizer: optax.GradientTransformation, frozen: Dict,
+                    with_masks: bool = False) -> Callable:
+    """Plain (non-distillation) train step."""
+
+    def loss_fn(params, batch, rng):
+        rngs = {"dropout": rng}
+        out, cache = model_forward(model, params, frozen, batch, rngs=rngs,
+                                   deterministic=False)
+        losses = crit.set_criterion(out, batch, cfg.loss,
+                                    with_masks=with_masks,
+                                    pred_masks=out.get("pred_masks"))
+        total = crit.total_loss(losses, weight_dict)
+        scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
+        scalars["loss"] = total
+        return total, scalars
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        (loss, scalars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, cfg.optim.ema_decay)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  ema_params=ema, step=state.step + 1)
+        scalars["grad_norm"] = optax.global_norm(grads)
+        scalars["loss_is_finite"] = jnp.isfinite(loss)
+        return new_state, scalars
+
+    return train_step
+
+
+def make_eval_step(model, cfg: Config, weight_dict: Dict[str, float],
+                   frozen: Dict, with_masks: bool = False) -> Callable:
+    """Forward + postprocess (reference engine.py:253-342 body, minus the
+    evaluator update which is host-side)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        out, cache = model_forward(model, params, frozen, batch,
+                                   deterministic=True)
+        losses = crit.set_criterion(out, batch, cfg.loss,
+                                    with_masks=with_masks,
+                                    pred_masks=out.get("pred_masks"))
+        post = postprocess_boxes(out["pred_logits"], out["pred_boxes"],
+                                 batch["orig_size"])
+        scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
+        scalars["loss"] = crit.total_loss(losses, weight_dict)
+        result = {"post": post, "scalars": scalars}
+        if "pred_masks" in out:
+            result["pred_masks"] = out["pred_masks"]
+        return result
+
+    return eval_step
+
+
+def init_variables(model, sample_batch, seed: int = 0):
+    rng = jax.random.PRNGKey(seed)
+    return jax.jit(model.init)(
+        rng, sample_batch["images"], sample_batch["image_mask"],
+        sample_batch["text_ids"], sample_batch["text_mask"])
+
+
+def init_train_state(model, cfg: Config, optimizer, sample_batch,
+                     seed: int = 0,
+                     use_ema: Optional[bool] = None) -> Tuple[TrainState, Dict]:
+    variables = init_variables(model, sample_batch, seed)
+    params, frozen = split_variables(variables)
+    opt_state = optimizer.init(params)
+    if use_ema is None:
+        use_ema = cfg.optim.ema
+    ema = jax.tree_util.tree_map(jnp.copy, params) if use_ema else None
+    state = TrainState(params=params, opt_state=opt_state, ema_params=ema,
+                       step=jnp.int32(0))
+    return state, frozen

@@ -1,0 +1,58 @@
+"""Integration test: the full driver on the synthetic fixture dataset.
+
+Covers SURVEY.md §7 phase 3's "minimum end-to-end slice": data pipeline -> model ->
+train epochs -> checkpoint -> per-task eval producing AP numbers through the
+from-scratch COCOEval.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from toist_tpu.config import Config
+from toist_tpu.data.fixtures import generate_fixture
+from toist_tpu.main import main
+
+
+@pytest.mark.slow
+def test_train_and_eval_fixture(tmp_path):
+    root = generate_fixture(str(tmp_path / "data"), num_tasks=2,
+                            imgs_per_split=4, img_size=(96, 128), seed=1)
+    out_dir = str(tmp_path / "out")
+    cfg = Config.from_sources(None, {
+        "model": {"backbone": "resnet18-test", "hidden_dim": 64, "nheads": 4,
+                  "dim_feedforward": 128, "enc_layers": 2, "dec_layers": 2,
+                  "num_queries": 12, "compute_dtype": "float32",
+                  "contrastive_align_loss": False,
+                  "backbone_norm": "group_norm", "text_hidden": 64,
+                  "text_layers": 2, "text_heads": 4, "text_intermediate": 128},
+        "data": {"coco_path": root, "refexp_ann_path": root + "/annotations",
+                 "tasks": [1, 2], "image_buckets": [[128, 128]],
+                 "max_text_len": 48, "max_boxes": 8,
+                 "train_scales": [96], "max_size": 128, "val_size": 96},
+        "optim": {"train_batch_size": 2, "valid_batch_size": 2, "epochs": 2,
+                  "lr": 1e-3, "lr_backbone": 1e-3, "text_encoder_lr": 1e-3,
+                  "ema": True, "eval_skip": 2},
+        "run": {"output_dir": out_dir, "seed": 0, "mesh_shape": [1]},
+    })
+    best = main(cfg)
+    # Training ran, checkpoints + logs exist, eval produced a number.
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint"))
+    log = [json.loads(l) for l in open(os.path.join(out_dir, "log.jsonl"))]
+    kinds = {r["kind"] for r in log}
+    assert {"train_step", "epoch", "eval"} <= kinds
+    evals = [r for r in log if r["kind"] == "eval"]
+    assert evals and np.isfinite(evals[-1]["mean_ap50"])
+    assert set(evals[-1]["per_task"].keys()) == {"1", "2"} or \
+        set(evals[-1]["per_task"].keys()) == {1, 2}
+
+    # Eval-only path restores from the checkpoint.
+    cfg_eval = Config.from_sources(None, {
+        **{k: v for k, v in cfg.to_dict().items() if k != "run"},
+        "run": {"eval_only": True,
+                "resume": os.path.join(out_dir, "checkpoint"),
+                "seed": 0, "mesh_shape": [1]},
+    })
+    m = main(cfg_eval)
+    assert np.isfinite(m)

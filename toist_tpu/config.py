@@ -34,6 +34,12 @@ class ModelConfig:
     freeze_text_encoder: bool = False    # --freeze_text_encoder (main.py:146-153)
     without_pretrain: bool = False       # --without_pretrain (main.py:256): random init
     num_classes: int = 255               # hardcoded (models/mdetr.py:1040); logits = 256 cols
+    backbone_norm: str = "frozen_bn"     # frozen_bn (parity) | group_norm (from scratch)
+    # Text encoder dims (roberta-base defaults; tests shrink these).
+    text_hidden: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    text_intermediate: int = 3072
     contrastive_align_loss: bool = True  # inverse of --no_contrastive_align_loss
     contrastive_hdim: int = 64           # --contrastive_loss_hdim (main.py:179-185)
     mask_model: str = "none"             # --mask_model {none,smallconv} (main.py:164-169)
@@ -65,6 +71,7 @@ class DataConfig:
     max_boxes: int = 25                  # static per-image GT box slots + validity mask
     train_scales: Tuple[int, ...] = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
     max_size: int = 1333
+    val_size: int = 800                  # val short-side resize (datasets/tdod.py:330)
     # Caption modes (datasets/tdod.py:66-89)
     verb_noun_input: bool = False        # teacher captions "verb + noun"
     num_workers: int = 4

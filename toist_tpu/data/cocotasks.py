@@ -257,7 +257,8 @@ def build_task_dataset(cfg_data, task_id: int, image_set: str,
             catid2name = json.load(f)
     tfs = T.make_transforms("train" if image_set == "train" else "val",
                             cautious=True, scales=list(cfg_data.train_scales),
-                            max_size=cfg_data.max_size)
+                            max_size=cfg_data.max_size,
+                            val_size=getattr(cfg_data, "val_size", 800))
     return CocoTasksDataset(
         img_dir, ann_file, task_id, image_set, tokenizer,
         catid2name=catid2name, return_masks=masks,

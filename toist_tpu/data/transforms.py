@@ -184,9 +184,15 @@ class RandomSizeCrop:
 
     def __call__(self, img, target, rng):
         init_boxes = len(target["boxes"])
+        # Clamp so images outside [min_size, max_size] stay valid (the
+        # reference assumes pre-resize >= 400 and would raise otherwise).
+        whi = min(img.width, self.max_size)
+        hhi = min(img.height, self.max_size)
+        wlo = min(self.min_size, whi)
+        hlo = min(self.min_size, hhi)
         for _ in range(150):
-            w = int(rng.integers(self.min_size, min(img.width, self.max_size) + 1))
-            h = int(rng.integers(self.min_size, min(img.height, self.max_size) + 1))
+            w = int(rng.integers(wlo, whi + 1))
+            h = int(rng.integers(hlo, hhi + 1))
             top = int(rng.integers(0, img.height - h + 1))
             left = int(rng.integers(0, img.width - w + 1))
             out_img, out_t = crop(img, target, (top, left, h, w))
@@ -211,21 +217,31 @@ class Normalize:
 
 def make_transforms(image_set: str, cautious: bool = True,
                     scales=(480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800),
-                    max_size: int = 1333):
+                    max_size: int = 1333, val_size: int = 800):
     """Train/val recipes (reference datasets/tdod.py:301-335)."""
     normalize = Normalize()
     if image_set == "train":
         horizontal = [] if cautious else [RandomHorizontalFlip()]
+        # The reference hardcodes pre-crop scales [400, 500, 600] and crop
+        # min 384 for max scale 800; keep those exact values there and scale
+        # them proportionally for non-default scale sets (tiny test configs).
+        m = max(scales)
+        if m == 800:
+            pre_crop, crop_min = [400, 500, 600], 384
+        else:
+            pre_crop = sorted({max(1, m // 2), max(1, (m * 5) // 8),
+                               max(1, (m * 3) // 4)})
+            crop_min = max(1, (m * 48) // 100)
         return Compose(horizontal + [
             RandomSelect(
                 RandomResize(scales, max_size=max_size),
                 Compose([
-                    RandomResize([400, 500, 600]),
-                    RandomSizeCrop(384, max_size, respect_boxes=cautious),
+                    RandomResize(pre_crop),
+                    RandomSizeCrop(crop_min, max_size, respect_boxes=cautious),
                     RandomResize(scales, max_size=max_size),
                 ])),
             normalize,
         ])
     if image_set == "val":
-        return Compose([RandomResize([800], max_size=max_size), normalize])
+        return Compose([RandomResize([val_size], max_size=max_size), normalize])
     raise ValueError(f"unknown image_set {image_set}")

@@ -168,8 +168,12 @@ class TOIST(nn.Module):
 
 def build_model(cfg: ModelConfig, text_vocab_size: int = 50265,
                 tiny_text: bool = False, backbone_norm: Optional[str] = None) -> TOIST:
-    kwargs: Dict[str, Any] = dict(cfg=cfg, text_vocab_size=text_vocab_size)
-    if tiny_text:
+    kwargs: Dict[str, Any] = dict(
+        cfg=cfg, text_vocab_size=text_vocab_size,
+        text_hidden=cfg.text_hidden, text_layers=cfg.text_layers,
+        text_heads=cfg.text_heads, text_intermediate=cfg.text_intermediate,
+        backbone_norm=cfg.backbone_norm)
+    if tiny_text:  # test convenience override
         kwargs.update(text_hidden=64, text_layers=2, text_heads=4,
                       text_intermediate=128)
     if backbone_norm is not None:

@@ -14,3 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the remote-TPU
+# backend at interpreter start and sets jax.config jax_platforms="axon,cpu"
+# PROGRAMMATICALLY, which overrides the env var above — silently routing "CPU"
+# tests through the TPU tunnel. Force the config back to cpu.
+import jax  # noqa: E402
+
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -21,7 +21,10 @@ def make_mesh(mesh_shape=(-1,), axes=("data",),
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devs) // known
-    return Mesh(devs.reshape(shape), axes)
+    total = int(np.prod(shape))
+    if total > len(devs):
+        raise ValueError(f"mesh {shape} needs {total} devices, have {len(devs)}")
+    return Mesh(devs[:total].reshape(shape), axes)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -1,0 +1,114 @@
+"""Segmentation head tests: mask shapes, query-subset equivalence, training."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toist_tpu.config import Config, LossConfig, ModelConfig, OptimConfig
+from toist_tpu.models.postprocess import postprocess_masks_host
+from toist_tpu.models.toist import build_model
+from toist_tpu.ops import rle as rle_ops
+from toist_tpu.train.criterion import build_weight_dict
+from toist_tpu.train.optim import label_params, make_optimizer
+from toist_tpu.train.step import (init_train_state, make_eval_step,
+                                  make_train_step)
+from tests.test_train_step import synthetic_batch
+
+SEG_CFG = Config(
+    model=ModelConfig(backbone="resnet18-test", hidden_dim=128, nheads=8,
+                      dim_feedforward=128, enc_layers=1, dec_layers=1,
+                      num_queries=8, compute_dtype="float32",
+                      contrastive_align_loss=False, mask_model="smallconv",
+                      masks=True, backbone_norm="group_norm",
+                      text_hidden=64, text_layers=1, text_heads=4,
+                      text_intermediate=128),
+    optim=OptimConfig(lr=2e-3, lr_backbone=2e-3, text_encoder_lr=2e-3,
+                      ema=False, schedule="step", lr_drop=1000,
+                      clip_max_norm=0.5),
+    loss=LossConfig(aux_loss=False),
+)
+
+
+def seg_batch(B=2, H=64, W=64, N=4):
+    batch = synthetic_batch(B=B, H=H, W=W, N=N)
+    gm = np.zeros((B, N, H // 4, W // 4), np.uint8)
+    for b in range(B):
+        x0, y0, s = (8 + 20 * b) // 4, 12 // 4, 20 // 4
+        gm[b, 0, y0:y0 + s, x0:x0 + s] = 1
+    batch["gt_masks"] = jnp.asarray(gm)
+    return batch
+
+
+@pytest.fixture(scope="module")
+def seg_model():
+    model = build_model(SEG_CFG.model, text_vocab_size=600)
+    batch = seg_batch()
+    optimizer = make_optimizer(SEG_CFG.optim, 10, 1000)
+    state, frozen = init_train_state(model, SEG_CFG, optimizer, batch, seed=0)
+    return model, state, frozen, optimizer, batch
+
+
+def test_mask_shapes_and_subset_equivalence(seg_model):
+    model, state, frozen, _, batch = seg_model
+    variables = {"params": state.params, **frozen}
+    fwd = jax.jit(lambda v, b: model.apply(
+        v, b["images"], b["image_mask"], b["text_ids"], b["text_mask"]))
+    out, cache = fwd(variables, batch)
+    B, Q = out["pred_logits"].shape[:2]
+
+    masks_all = jax.jit(lambda v, c, h: model.apply(
+        v, c, h, None, method=model.compute_masks))(
+            variables, cache, out["hs"][-1])
+    assert masks_all.shape == (B, Q, 64 // 4, 64 // 4)
+
+    idx = jnp.asarray([[2, 5, 0, 0], [1, 3, 7, 7]], jnp.int32)
+    masks_sel = jax.jit(lambda v, c, h, i: model.apply(
+        v, c, h, i, method=model.compute_masks))(
+            variables, cache, out["hs"][-1], idx)
+    assert masks_sel.shape == (B, 4, 16, 16)
+    for b in range(B):
+        for n in range(4):
+            np.testing.assert_allclose(
+                np.asarray(masks_sel[b, n]),
+                np.asarray(masks_all[b, int(idx[b, n])]), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mask_training_decreases_loss(seg_model):
+    model, state, frozen, optimizer, batch = seg_model
+    wd = build_weight_dict(SEG_CFG.loss, masks=True, num_dec_layers=1)
+    train_step = make_train_step(model, SEG_CFG, wd, optimizer, frozen,
+                                 with_masks=True)
+    rng = jax.random.PRNGKey(0)
+    first = last = None
+    for i in range(60):
+        state, sc = train_step(state, batch, rng)
+        if first is None:
+            first = float(sc["loss_mask"]) + float(sc["loss_dice"])
+        last = float(sc["loss_mask"]) + float(sc["loss_dice"])
+        assert bool(sc["loss_is_finite"])
+    assert last < 0.7 * first, (first, last)
+
+    # Eval produces per-query masks and postprocess RLE-encodes them.
+    eval_step = make_eval_step(model, SEG_CFG, wd, frozen, with_masks=True)
+    res = eval_step(state.params, batch)
+    assert res["pred_masks"].shape[1] == SEG_CFG.model.num_queries
+    rles = postprocess_masks_host(
+        res["pred_masks"], np.asarray(batch["orig_size"]),
+        np.asarray(batch["orig_size"]), np.asarray(batch["sample_valid"]))
+    assert len(rles) == 2 and len(rles[0]) == SEG_CFG.model.num_queries
+    m = rle_ops.decode(rles[0][0])
+    assert m.shape == (64, 64)
+
+
+def test_frozen_detector_labels(seg_model):
+    model, state, frozen, _, _ = seg_model
+    labels = label_params(state.params, frozen_detector=True)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    got_model = [p for p, v in flat if v == "model"]
+    got_frozen = [p for p, v in flat if v == "frozen"]
+    assert got_model and got_frozen
+    assert all("mask_head" in str(p) or "bbox_attention" in str(p)
+               for p in got_model)

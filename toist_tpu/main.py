@@ -90,7 +90,8 @@ def main(cfg: Config) -> Optional[float]:
         steps_per_epoch = max(1, len(train_iter))
     total_steps = steps_per_epoch * cfg.optim.epochs
 
-    optimizer = make_optimizer(cfg.optim, steps_per_epoch, total_steps)
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch, total_steps,
+                               frozen_detector=cfg.model.frozen_detector)
     weight_dict = build_weight_dict(cfg.loss, cfg.model.masks,
                                     cfg.model.dec_layers)
 

@@ -73,6 +73,15 @@ class TOIST(nn.Module):
                                        name="contrastive_align_projection_image")
             self.proj_text = nn.Dense(cfg.contrastive_hdim, dtype=jnp.float32,
                                       name="contrastive_align_projection_text")
+        if cfg.masks:
+            from toist_tpu.models.segmentation import (MaskHeadSmallConv,
+                                                       MHAttentionMap)
+            self.bbox_attention = MHAttentionMap(
+                cfg.hidden_dim, cfg.nheads, dtype=self.compute_dtype,
+                name="bbox_attention")
+            self.mask_head = MaskHeadSmallConv(
+                cfg.hidden_dim + cfg.nheads, cfg.hidden_dim,
+                dtype=self.compute_dtype, name="mask_head")
 
     def encode(self, images: jnp.ndarray, image_mask: jnp.ndarray,
                text_ids: jnp.ndarray, text_mask: jnp.ndarray,
@@ -158,12 +167,55 @@ class TOIST(nn.Module):
             out["aux_proj_queries"] = pq[:-1]
         return out
 
+    def compute_masks(self, memory_cache: Dict[str, jnp.ndarray],
+                      hs_last: jnp.ndarray,
+                      query_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Per-query stride-4 mask logits (reference segmentation.py:156-167).
+
+        hs_last: [B, Q, D] last decoder layer. query_idx: optional [B, N] query
+        selection (training runs only the matched queries; None = all).
+        Returns [B, N or Q, H/4, W/4] float32 logits.
+        """
+        # Derive the feature grid from src_proj's static shape: feature_hw in
+        # the cache becomes a traced value after crossing a jit boundary.
+        B, fh, fw, D = memory_cache["src_proj"].shape
+        memory = memory_cache["img_memory"][:, :fh * fw].reshape(B, fh, fw, D)
+        if query_idx is not None:
+            sel = jnp.clip(query_idx, 0, hs_last.shape[1] - 1)
+            hs_sel = jnp.take_along_axis(hs_last, sel[..., None], axis=1)
+        else:
+            hs_sel = hs_last
+        N = hs_sel.shape[1]
+        att = self.bbox_attention(hs_sel.astype(self.compute_dtype), memory,
+                                  pad_mask=memory_cache["feature_mask"])
+        src = memory_cache["src_proj"]                       # [B, fh, fw, D]
+        x = jnp.concatenate([
+            jnp.repeat(src, N, axis=0),
+            att.transpose(0, 1, 3, 4, 2).reshape(B * N, fh, fw,
+                                                 self.cfg.nheads),
+        ], axis=-1)
+        logits = self.mask_head(x, memory_cache["features_c4"],
+                                memory_cache["features_c3"],
+                                memory_cache["features_c2"], num_queries=N)
+        h4, w4 = logits.shape[1], logits.shape[2]
+        return logits.reshape(B, N, h4, w4).astype(jnp.float32)
+
     def __call__(self, images, image_mask, text_ids, text_mask,
                  deterministic: bool = True):
         """Fused encode+decode for plain inference/training without cluster."""
         cache = self.encode(images, image_mask, text_ids, text_mask,
                             deterministic)
         return self.decode(cache, deterministic), cache
+
+    def init_forward(self, images, image_mask, text_ids, text_mask):
+        """Initialization trace covering every submodule (incl. mask head)."""
+        out, cache = self(images, image_mask, text_ids, text_mask, True)
+        if self.cfg.masks:
+            B = images.shape[0]
+            idx = jnp.zeros((B, 1), jnp.int32)
+            out["pred_masks_init"] = self.compute_masks(cache, out["hs"][-1],
+                                                        idx)
+        return out
 
 
 def build_model(cfg: ModelConfig, text_vocab_size: int = 50265,

@@ -155,6 +155,24 @@ def compute_num_boxes(box_valid: jnp.ndarray,
     return jnp.maximum(n.astype(jnp.float32), 1.0)
 
 
+def mask_losses(pred_masks_sel: jnp.ndarray, gt_masks: jnp.ndarray,
+                box_valid: jnp.ndarray, sample_valid: jnp.ndarray,
+                prefix: str = "") -> Dict[str, jnp.ndarray]:
+    """Focal + dice on matched-query masks (reference mdetr.py:827-853).
+
+    pred_masks_sel [B, N, h, w] aligned with gt_masks [B, N, h, w] (the caller
+    gathered each target's matched query via compute_masks(query_idx=t2q))."""
+    bv = (box_valid & sample_valid[:, None])
+    num_boxes = compute_num_boxes(box_valid, sample_valid)
+    src = pred_masks_sel.reshape(*pred_masks_sel.shape[:2], -1)
+    tgt = gt_masks.astype(jnp.float32).reshape(*gt_masks.shape[:2], -1)
+    v = bv.astype(jnp.float32)
+    return {
+        f"{prefix}loss_mask": sigmoid_focal_loss(src, tgt, v, num_boxes),
+        f"{prefix}loss_dice": dice_loss(src, tgt, v, num_boxes),
+    }
+
+
 def set_criterion(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                   cfg: LossConfig, with_masks: bool = False,
                   pred_masks: Optional[jnp.ndarray] = None,
@@ -191,21 +209,11 @@ def set_criterion(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
                     proj_q, outputs["proj_tokens"], pm, t2q, bv,
                     batch["text_mask"], batch["sample_valid"],
                     cfg.temperature_NCE, num_boxes)
-        if level_masks is not None and with_masks:
-            B, Q = level_masks.shape[:2]
-            gm = batch["gt_masks"].astype(jnp.float32)
-            src = _gather_queries(level_masks, t2q)       # [B, N, h, w]
-            src = src.reshape(*src.shape[:2], -1)
-            tgt = gm.reshape(*gm.shape[:2], -1)
-            losses[f"{prefix}loss_mask{suffix}"] = sigmoid_focal_loss(
-                src, tgt, bv.astype(jnp.float32), num_boxes)
-            losses[f"{prefix}loss_dice{suffix}"] = dice_loss(
-                src, tgt, bv.astype(jnp.float32), num_boxes)
         return t2q
 
     proj_q = outputs.get("proj_queries")
     t2q_main = one_level(outputs["pred_logits"], outputs["pred_boxes"], proj_q,
-                         "", pred_masks)
+                         "", None)
     if cfg.aux_loss and "aux_pred_logits" in outputs:
         n_aux = outputs["aux_pred_logits"].shape[0]
         for i in range(n_aux):

@@ -55,6 +55,12 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
              iou_types=("bbox",), mask_postprocess: Optional[Callable] = None,
              print_freq: int = 10) -> Dict[int, Dict[str, np.ndarray]]:
     """Run per-task evaluation; returns {task_id: {'bbox': stats12, ...}}."""
+    if "segm" in iou_types and mask_postprocess is None:
+        from toist_tpu.models.postprocess import postprocess_masks_host
+
+        def mask_postprocess(res, b):
+            return postprocess_masks_host(res["pred_masks"], b["size"],
+                                          b["orig_size"], b["sample_valid"])
     results = {}
     for task_id, ds in task_datasets.items():
         gts = gt_records_from_json(ds.coco.dataset)

@@ -26,11 +26,17 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def label_params(params: Any) -> Any:
+def label_params(params: Any, frozen_detector: bool = False) -> Any:
     """Label pytree: frozen (stem+layer1, reference backbone.py:68-73),
-    backbone, text_encoder, model."""
+    backbone, text_encoder, model.
+
+    frozen_detector=True (seg training, reference --frozen_weights +
+    segmentation.py:22-24): everything except the mask branch is frozen."""
     def label(path, _leaf):
         p = _path_str(path)
+        if frozen_detector:
+            return ("model" if ("bbox_attention" in p or "mask_head" in p)
+                    else "frozen")
         if "backbone/" in p:
             first = p.split("backbone/")[1].split("/")[0]
             if first in ("conv1", "FrozenBN_0", "GroupNorm_0") or \
@@ -82,8 +88,8 @@ def make_schedules(cfg: OptimConfig, steps_per_epoch: int,
     }
 
 
-def make_optimizer(cfg: OptimConfig, steps_per_epoch: int,
-                   total_steps: int) -> optax.GradientTransformation:
+def make_optimizer(cfg: OptimConfig, steps_per_epoch: int, total_steps: int,
+                   frozen_detector: bool = False) -> optax.GradientTransformation:
     """Build the grouped optimizer; parameter labels are resolved lazily at
     init time (label_params passed as a callable), so no params are needed."""
     schedules = make_schedules(cfg, steps_per_epoch, total_steps)
@@ -95,11 +101,13 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int,
             tx = optax.set_to_zero()
         return tx
 
+    import functools
+    labeler = functools.partial(label_params, frozen_detector=frozen_detector)
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_max_norm),
         optax.multi_transform(
             {name: group(name) for name in
-             ("model", "backbone", "text_encoder", "frozen")}, label_params),
+             ("model", "backbone", "text_encoder", "frozen")}, labeler),
     )
 
 

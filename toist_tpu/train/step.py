@@ -52,9 +52,17 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
         rngs = {"dropout": rng}
         out, cache = model_forward(model, params, frozen, batch, rngs=rngs,
                                    deterministic=False)
-        losses = crit.set_criterion(out, batch, cfg.loss,
-                                    with_masks=with_masks,
-                                    pred_masks=out.get("pred_masks"))
+        losses = crit.set_criterion(out, batch, cfg.loss)
+        t2q = losses.pop("_tgt2query")
+        if with_masks:
+            # Run the mask head only on the Hungarian-matched queries
+            # (identical math to the reference's all-queries pass, ~4x cheaper).
+            pred_masks_sel = model.apply(
+                {"params": params, **frozen}, cache, out["hs"][-1],
+                jax.lax.stop_gradient(t2q), method=model.compute_masks)
+            losses.update(crit.mask_losses(
+                pred_masks_sel, batch["gt_masks"], batch["box_valid"],
+                batch["sample_valid"]))
         total = crit.total_loss(losses, weight_dict)
         scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
         scalars["loss"] = total
@@ -90,16 +98,17 @@ def make_eval_step(model, cfg: Config, weight_dict: Dict[str, float],
     def eval_step(params, batch):
         out, cache = model_forward(model, params, frozen, batch,
                                    deterministic=True)
-        losses = crit.set_criterion(out, batch, cfg.loss,
-                                    with_masks=with_masks,
-                                    pred_masks=out.get("pred_masks"))
+        losses = crit.set_criterion(out, batch, cfg.loss)
+        losses.pop("_tgt2query")
         post = postprocess_boxes(out["pred_logits"], out["pred_boxes"],
                                  batch["orig_size"])
         scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
         scalars["loss"] = crit.total_loss(losses, weight_dict)
         result = {"post": post, "scalars": scalars}
-        if "pred_masks" in out:
-            result["pred_masks"] = out["pred_masks"]
+        if with_masks:
+            result["pred_masks"] = model.apply(
+                {"params": params, **frozen}, cache, out["hs"][-1], None,
+                method=model.compute_masks)
         return result
 
     return eval_step
@@ -107,9 +116,9 @@ def make_eval_step(model, cfg: Config, weight_dict: Dict[str, float],
 
 def init_variables(model, sample_batch, seed: int = 0):
     rng = jax.random.PRNGKey(seed)
-    return jax.jit(model.init)(
-        rng, sample_batch["images"], sample_batch["image_mask"],
-        sample_batch["text_ids"], sample_batch["text_mask"])
+    init = jax.jit(lambda r, *a: model.init(r, *a, method=model.init_forward))
+    return init(rng, sample_batch["images"], sample_batch["image_mask"],
+                sample_batch["text_ids"], sample_batch["text_mask"])
 
 
 def init_train_state(model, cfg: Config, optimizer, sample_batch,

@@ -1,0 +1,222 @@
+"""Distillation stack tests: k-means, cluster bank, softkd/nsthl2, dual step."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toist_tpu.config import Config, LossConfig, ModelConfig, OptimConfig
+from toist_tpu.models.toist import build_model
+from toist_tpu.ops.kmeans import kmeans, kmeans_predict
+from toist_tpu.train import cluster as cl
+from toist_tpu.train import criterion as crit
+from toist_tpu.train.criterion import build_weight_dict
+from toist_tpu.train.distill import (make_cluster_eval_step,
+                                     make_distillation_train_step)
+from toist_tpu.train.optim import make_optimizer
+from toist_tpu.train.state import TrainState
+from toist_tpu.train.step import init_train_state, split_variables, init_variables
+from tests.test_train_step import synthetic_batch
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+def test_kmeans_separated_clusters():
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([rng.normal(0, 0.1, (50, 8)),
+                          rng.normal(5, 0.1, (50, 8))])
+    init = jnp.asarray([pts[0], pts[60]])
+    labels, centers = jax.jit(lambda x, c: kmeans(x, c, 32, 1e-4))(
+        jnp.asarray(pts, jnp.float32), init.astype(jnp.float32))
+    labels = np.asarray(labels)
+    assert len(set(labels[:50])) == 1 and len(set(labels[50:])) == 1
+    assert labels[0] != labels[60]
+    c = np.asarray(centers)
+    np.testing.assert_allclose(sorted(c[:, 0].tolist()), [0, 5], atol=0.1)
+    pred = np.asarray(kmeans_predict(jnp.asarray([[5.0] * 8]), centers))
+    assert pred[0] == labels[60]
+
+
+# ---------------------------------------------------------------------------
+# Cluster bank
+# ---------------------------------------------------------------------------
+def test_bank_fifo_fill_and_full_flag():
+    bank = cl.init_bank(task_count=3, memory_size=4, cluster_num=2,
+                        feature_dim=6, seed=0)
+    feats = jnp.arange(12, dtype=jnp.float32).reshape(2, 6)
+    update = jax.jit(lambda b, f, t, v: cl.update_bank(b, f, t, v))
+    b1 = update(bank, feats, jnp.asarray([1, 1]), jnp.asarray([True, True]))
+    assert int(b1.update_count[1]) == 2 and not bool(b1.full[1])
+    # Newest features occupy the bank tail (shift-insert).
+    np.testing.assert_allclose(np.asarray(b1.feature_bank[1][-1]),
+                               np.asarray(feats[1]))
+    np.testing.assert_allclose(np.asarray(b1.feature_bank[1][-2]),
+                               np.asarray(feats[0]))
+    # Invalid rows don't change anything.
+    b2 = update(b1, feats, jnp.asarray([0, 0]), jnp.asarray([False, False]))
+    assert int(b2.update_count[0]) == 0
+    np.testing.assert_allclose(np.asarray(b2.feature_bank[0]),
+                               np.asarray(b1.feature_bank[0]))
+    # Fill past capacity: full flag goes up with the reference's quirk
+    # (full only once count exceeds memory_size before an insert).
+    b = b1
+    for _ in range(3):
+        b = update(b, feats, jnp.asarray([1, 1]), jnp.asarray([True, True]))
+    assert int(b.update_count[1]) == 8 and bool(b.full[1])
+
+
+def test_bank_replace_nearest():
+    bank = cl.init_bank(task_count=1, memory_size=3, cluster_num=2,
+                        feature_dim=2, seed=0)
+    bank = bank.replace(
+        feature_bank=jnp.asarray([[[0.0, 0.0], [10.0, 10.0], [20.0, 20.0]]]),
+        full=jnp.asarray([True]))
+    feat = jnp.asarray([[9.0, 9.0]])
+    b = jax.jit(lambda b, f: cl.update_bank(
+        b, f, jnp.asarray([0]), jnp.asarray([True]), fifo=False))(bank, feat)
+    np.testing.assert_allclose(np.asarray(b.feature_bank[0]),
+                               [[0, 0], [9, 9], [20, 20]])
+
+
+def test_span_pooling():
+    tm = jnp.arange(24, dtype=jnp.float32).reshape(1, 6, 4)
+    spans = jnp.asarray([[[1, 2], [-1, -1]]])
+    bv = jnp.asarray([[True, True]])
+    pooled, has = cl.pool_span_features(tm, spans, bv)
+    # box 0: mean of tokens 1,2; box 1 invalid span -> excluded
+    np.testing.assert_allclose(np.asarray(pooled[0]),
+                               np.asarray((tm[0, 1] + tm[0, 2]) / 2))
+    assert bool(has[0])
+
+
+# ---------------------------------------------------------------------------
+# Distillation losses
+# ---------------------------------------------------------------------------
+def test_softkd_zero_for_identical_streams():
+    rng = np.random.default_rng(0)
+    B, Q, N, L = 2, 10, 4, 16
+    logits = jnp.asarray(rng.normal(size=(B, Q, L)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, Q, 4)), jnp.float32)
+    t2q = jnp.asarray([[0, 3, -1, -1], [5, -1, -1, -1]], jnp.int32)
+    bv = jnp.asarray([[True, True, False, False],
+                      [True, False, False, False]])
+    sv = jnp.asarray([True, True])
+    f = jax.jit(crit.loss_softkd)
+    out = f(logits, logits, boxes, boxes, t2q, t2q, bv, sv)
+    np.testing.assert_allclose(float(out), 0.0, atol=1e-5)
+    # Different streams -> positive.
+    logits2 = logits + jnp.asarray(rng.normal(size=(B, Q, L)), jnp.float32)
+    out2 = f(logits, logits2, boxes, boxes, t2q, t2q, bv, sv)
+    assert float(out2) > 1e-4
+
+
+def test_softkd_gradient_only_to_student():
+    rng = np.random.default_rng(1)
+    B, Q, N, L = 1, 6, 2, 8
+    logits_n = jnp.asarray(rng.normal(size=(B, Q, L)), jnp.float32)
+    logits_s = jnp.asarray(rng.normal(size=(B, Q, L)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, Q, 4)), jnp.float32)
+    t2q = jnp.asarray([[1, 4]], jnp.int32)
+    bv = jnp.asarray([[True, True]])
+    sv = jnp.asarray([True])
+    g = jax.jit(jax.grad(
+        lambda ln, ls: crit.loss_softkd(ln, ls, boxes, boxes, t2q, t2q,
+                                        bv, sv), argnums=(0, 1)))
+    gn, gs = g(logits_n, logits_s)
+    assert float(jnp.abs(gn).max()) == 0.0       # teacher detached
+    assert float(jnp.abs(gs).max()) > 0.0
+
+
+def test_nsthl2_zero_identical():
+    rng = np.random.default_rng(2)
+    tm = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+    spans = jnp.asarray([[[1, 3], [1, 3]], [[2, 2], [-1, -1]]], jnp.int32)
+    bv = jnp.asarray([[True, True], [True, False]])
+    sv = jnp.asarray([True, True])
+    out = jax.jit(crit.loss_nsthl2)(tm, tm, spans, spans, bv, sv)
+    np.testing.assert_allclose(float(out), 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Dual train step + cluster eval, end to end on a tiny model
+# ---------------------------------------------------------------------------
+DIS_CFG = Config(
+    model=ModelConfig(backbone="resnet18-test", hidden_dim=64, nheads=4,
+                      dim_feedforward=128, enc_layers=1, dec_layers=2,
+                      num_queries=10, compute_dtype="float32",
+                      contrastive_align_loss=False,
+                      backbone_norm="group_norm", text_hidden=64,
+                      text_layers=1, text_heads=4, text_intermediate=128),
+    optim=OptimConfig(lr=1e-3, lr_backbone=1e-3, text_encoder_lr=1e-3,
+                      ema=True, ema_decay=0.9, schedule="step", lr_drop=1000,
+                      clip_max_norm=0.5),
+    loss=LossConfig(aux_loss=True, distillation=True, softkd_loss=True,
+                    softkd_coef=50.0, nsthl2_loss=True, nsthl2_coef=1.0,
+                    cluster=True, cluster_memory_size=16, cluster_num=2,
+                    kmeans_max_iters=8),
+)
+
+
+def _paired_batch():
+    noun = synthetic_batch(B=2, H=64, W=64, N=4, T=12)
+    sth = {k: (v.copy() if hasattr(v, "copy") else v) for k, v in noun.items()}
+    spans = np.full((2, 4, 2), -1, np.int32)
+    spans[:, :2] = [2, 3]
+    noun["noun_token_spans"] = jnp.asarray(spans)
+    sth_spans = np.full((2, 4, 2), -1, np.int32)
+    sth_spans[:, :, 0] = 4
+    sth_spans[:, :, 1] = 4
+    sth["noun_token_spans"] = jnp.asarray(sth_spans)
+    noun["task_id"] = jnp.asarray([1, 2], jnp.int32)
+    sth["task_id"] = jnp.asarray([1, 2], jnp.int32)
+    return {"noun": noun, "sth": sth}
+
+
+@pytest.mark.slow
+def test_distillation_train_step():
+    model = build_model(DIS_CFG.model, text_vocab_size=600)
+    batches = _paired_batch()
+    optimizer = make_optimizer(DIS_CFG.optim, 10, 1000)
+    state, frozen = init_train_state(model, DIS_CFG, optimizer,
+                                     batches["sth"], seed=0)
+    tvars = init_variables(model, batches["noun"], seed=1)
+    tparams, tfrozen = split_variables(tvars)
+    bank = cl.init_bank(14, DIS_CFG.loss.cluster_memory_size,
+                        DIS_CFG.loss.cluster_num, DIS_CFG.model.hidden_dim)
+    params = {"student": state.params, "teacher": tparams}
+    state = TrainState(
+        params=state.params, opt_state=optimizer.init(params),
+        ema_params=state.ema_params, step=jnp.int32(0),
+        teacher_params=tparams,
+        teacher_ema_params=jax.tree_util.tree_map(jnp.copy, tparams),
+        cluster_bank=bank)
+
+    wd = build_weight_dict(DIS_CFG.loss, masks=False,
+                           num_dec_layers=DIS_CFG.model.dec_layers)
+    train_step = make_distillation_train_step(model, DIS_CFG, wd, optimizer,
+                                              frozen, tfrozen)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(6):
+        state, sc = train_step(state, batches, rng)
+        assert bool(sc["loss_is_finite"])
+        losses.append(float(sc["loss"]))
+        for key in ("noun_loss_ce", "sth_loss_ce", "loss_softkd",
+                    "loss_nsthl2", "loss_cluster_feature"):
+            assert key in sc, key
+    # Bank received 2 teacher features per step for tasks 1,2.
+    assert int(state.cluster_bank.update_count[0]) == 6
+    assert int(state.cluster_bank.update_count[1]) == 6
+    assert int(state.step) == 6
+    # Teacher params actually trained (not frozen).
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.teacher_params, tparams)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    # Cluster eval step runs with the trained bank.
+    eval_step = make_cluster_eval_step(model, DIS_CFG, wd, frozen)
+    res = eval_step(state.params, state.cluster_bank, batches["sth"])
+    assert np.isfinite(float(res["scalars"]["loss"]))
+    assert res["post"]["scores"].shape == (2, DIS_CFG.model.num_queries)

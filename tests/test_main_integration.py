@@ -56,3 +56,36 @@ def test_train_and_eval_fixture(tmp_path):
     })
     m = main(cfg_eval)
     assert np.isfinite(m)
+
+
+@pytest.mark.slow
+def test_distillation_training_fixture(tmp_path):
+    """Workload 4 (SURVEY.md Appendix A): distillation train + cluster eval."""
+    root = generate_fixture(str(tmp_path / "data"), num_tasks=2,
+                            imgs_per_split=3, img_size=(96, 128), seed=2)
+    out_dir = str(tmp_path / "out")
+    cfg = Config.from_sources(None, {
+        "model": {"backbone": "resnet18-test", "hidden_dim": 64, "nheads": 4,
+                  "dim_feedforward": 128, "enc_layers": 1, "dec_layers": 2,
+                  "num_queries": 10, "compute_dtype": "float32",
+                  "contrastive_align_loss": False,
+                  "backbone_norm": "group_norm", "text_hidden": 64,
+                  "text_layers": 1, "text_heads": 4, "text_intermediate": 128},
+        "data": {"coco_path": root, "refexp_ann_path": root + "/annotations",
+                 "tasks": [1, 2], "image_buckets": [[128, 128]],
+                 "max_text_len": 48, "max_boxes": 8,
+                 "train_scales": [96], "max_size": 128, "val_size": 96},
+        "optim": {"train_batch_size": 2, "valid_batch_size": 2, "epochs": 1,
+                  "lr": 1e-3, "lr_backbone": 1e-3, "text_encoder_lr": 1e-3,
+                  "ema": True, "eval_skip": 1},
+        "loss": {"distillation": True, "softkd_loss": True,
+                 "softkd_coef": 50.0, "nsthl2_loss": True, "nsthl2_coef": 1.0,
+                 "cluster": True, "cluster_memory_size": 16, "cluster_num": 2,
+                 "kmeans_max_iters": 8},
+        "run": {"output_dir": out_dir, "seed": 0, "mesh_shape": [1]},
+    })
+    best = main(cfg)
+    assert np.isfinite(best)
+    log = [json.loads(l) for l in open(os.path.join(out_dir, "log.jsonl"))]
+    steps = [r for r in log if r["kind"] == "train_step"]
+    assert steps and "loss_softkd" in steps[0] and "noun_loss_ce" in steps[0]

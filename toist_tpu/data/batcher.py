@@ -148,7 +148,10 @@ class BatchIterator:
 
     def __init__(self, datasets: List, spec: BucketSpec, batch_size: int,
                  seed: int = 42, shuffle: bool = True, drop_last: bool = False,
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1, paired: bool = False):
+        """paired=True: datasets yield (noun, sth) pairs (distillation train,
+        reference collate_fn util/misc.py:40-92); epochs then yield
+        {"noun": Batch, "sth": Batch} with aligned rows."""
         self.datasets = datasets
         self.spec = spec
         self.batch_size = batch_size
@@ -157,6 +160,7 @@ class BatchIterator:
         self.drop_last = drop_last
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.paired = paired
         self._index: List[Tuple[int, int]] = []
         for di, ds in enumerate(datasets):
             for si in range(len(ds)):
@@ -174,21 +178,35 @@ class BatchIterator:
             rng.shuffle(order)
         order = order[self.shard_id::self.num_shards]
 
-        pending: Dict[int, List[dict]] = {}
+        pending: Dict[int, List] = {}
+
+        def emit(bi, items):
+            if self.paired:
+                nouns, sths = zip(*items)
+                return {"noun": collate(nouns, self.spec, bi, self.batch_size),
+                        "sth": collate(sths, self.spec, bi, self.batch_size)}
+            return collate(items, self.spec, bi, self.batch_size)
+
         for flat_idx in order:
             di, si = self._index[flat_idx]
             sample_rng = np.random.default_rng(
                 (self.seed, epoch, int(flat_idx)))
-            for s in self.datasets[di].get(si, sample_rng):
-                h, w = s["image"].shape[:2]
+            samples = self.datasets[di].get(si, sample_rng)
+            if self.paired:
+                assert len(samples) == 2, "paired mode expects (noun, sth)"
+                items = [tuple(samples)]
+            else:
+                items = samples
+            for s in items:
+                probe = s[0] if self.paired else s
+                h, w = probe["image"].shape[:2]
                 bi = self.spec.pick(h, w)
                 if bi < 0:
                     continue  # oversized sample (shouldn't happen post-resize)
                 pending.setdefault(bi, []).append(s)
                 if len(pending[bi]) == self.batch_size:
-                    yield collate(pending.pop(bi), self.spec, bi,
-                                  self.batch_size)
+                    yield emit(bi, pending.pop(bi))
         if not self.drop_last:
             for bi, rest in sorted(pending.items()):
                 if rest:
-                    yield collate(rest, self.spec, bi, self.batch_size)
+                    yield emit(bi, rest)

@@ -86,7 +86,8 @@ def main(cfg: Config) -> Optional[float]:
         train_iter = BatchIterator(
             train_sets, spec, batch_size=cfg.optim.train_batch_size,
             seed=cfg.run.seed, shuffle=True,
-            shard_id=jax.process_index(), num_shards=jax.process_count())
+            shard_id=jax.process_index(), num_shards=jax.process_count(),
+            paired=cfg.loss.distillation)
         steps_per_epoch = max(1, len(train_iter))
     total_steps = steps_per_epoch * cfg.optim.epochs
 
@@ -99,6 +100,31 @@ def main(cfg: Config) -> Optional[float]:
     sample = _dummy_batch(spec, cfg.optim.train_batch_size)
     state, frozen = init_train_state(model, cfg, optimizer, sample,
                                      seed=cfg.run.seed)
+    teacher_frozen = frozen
+    if cfg.loss.distillation:
+        from toist_tpu.train import cluster as cluster_lib
+        from toist_tpu.train.step import init_variables, split_variables
+        tvars = init_variables(model, sample, seed=cfg.run.seed + 1)
+        tparams, teacher_frozen = split_variables(tvars)
+        if cfg.run.load_noun:
+            tparams, teacher_frozen = ckpt.load_params(cfg.run.load_noun,
+                                                       prefer_ema=True)
+        bank = cluster_lib.init_bank(
+            len(TASKS), cfg.loss.cluster_memory_size, cfg.loss.cluster_num,
+            cfg.model.hidden_dim, seed=cfg.run.seed)
+        state = state.replace(
+            teacher_params=tparams,
+            teacher_ema_params=jax.tree_util.tree_map(
+                lambda x: x.copy(), tparams) if cfg.optim.ema else None,
+            cluster_bank=bank,
+            opt_state=optimizer.init({"student": state.params,
+                                      "teacher": tparams}))
+    elif cfg.loss.cluster:
+        from toist_tpu.train import cluster as cluster_lib
+        state = state.replace(cluster_bank=cluster_lib.init_bank(
+            len(TASKS), cfg.loss.cluster_memory_size, cfg.loss.cluster_num,
+            cfg.model.hidden_dim, seed=cfg.run.seed))
+
     start_epoch = cfg.run.start_epoch
     if cfg.run.resume:
         state, frozen, start_epoch = ckpt.restore(cfg.run.resume, state, frozen)
@@ -109,11 +135,25 @@ def main(cfg: Config) -> Optional[float]:
 
     state = mesh_lib.replicate_tree(state, mesh)
     frozen = mesh_lib.replicate_tree(frozen, mesh)
+    teacher_frozen = mesh_lib.replicate_tree(teacher_frozen, mesh)
 
-    train_step = make_train_step(model, cfg, weight_dict, optimizer, frozen,
-                                 with_masks=cfg.model.masks)
-    eval_step = make_eval_step(model, cfg, weight_dict, frozen,
-                               with_masks=cfg.model.masks)
+    if cfg.loss.distillation:
+        from toist_tpu.train.distill import (make_cluster_eval_step,
+                                             make_distillation_train_step)
+        train_step = make_distillation_train_step(
+            model, cfg, weight_dict, optimizer, frozen, teacher_frozen)
+    else:
+        train_step = make_train_step(model, cfg, weight_dict, optimizer,
+                                     frozen, with_masks=cfg.model.masks)
+    if cfg.loss.cluster:
+        from toist_tpu.train.distill import make_cluster_eval_step
+        cluster_eval = make_cluster_eval_step(model, cfg, weight_dict, frozen)
+
+        def eval_step(params, batch):
+            return cluster_eval(params, state.cluster_bank, batch)
+    else:
+        eval_step = make_eval_step(model, cfg, weight_dict, frozen,
+                                   with_masks=cfg.model.masks)
     rng = jax.random.PRNGKey(cfg.run.seed)
 
     def run_eval(params) -> float:

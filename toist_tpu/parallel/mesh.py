@@ -37,9 +37,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Host numpy batch -> device arrays sharded on the data axis."""
+    """Host numpy batch (possibly nested, e.g. distillation {noun, sth}) ->
+    device arrays sharded on the data axis."""
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda v: jax.device_put(v, sh), batch)
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:

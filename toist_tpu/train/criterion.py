@@ -209,6 +209,8 @@ def set_criterion(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
                     proj_q, outputs["proj_tokens"], pm, t2q, bv,
                     batch["text_mask"], batch["sample_valid"],
                     cfg.temperature_NCE, num_boxes)
+        losses[f"_tgt2query{suffix}" if not prefix
+               else f"_{prefix}tgt2query{suffix}"] = t2q
         return t2q
 
     proj_q = outputs.get("proj_queries")
@@ -222,8 +224,106 @@ def set_criterion(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
                       else None)
             one_level(outputs["aux_pred_logits"][i],
                       outputs["aux_pred_boxes"][i], aux_pq, f"_{i}", None)
-    losses[f"{prefix}_tgt2query" if prefix else "_tgt2query"] = t2q_main
+    losses["_tgt2query" if not prefix else f"_{prefix}tgt2query"] = t2q_main
     return losses
+
+
+def _binary_prob(logits: jnp.ndarray) -> jnp.ndarray:
+    """Soft binary target: [P(any object), P(no-object)] (mdetr.py:555-556)."""
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.stack([jnp.sum(p[..., :-1], axis=-1), p[..., -1]], axis=-1)
+
+
+def _kl2(p_tgt: jnp.ndarray, p_src: jnp.ndarray) -> jnp.ndarray:
+    """KL(p_tgt || p_src) over the last (2-class) axis, eps-guarded."""
+    eps = 1e-10
+    return jnp.sum(
+        p_tgt * (jnp.log(p_tgt + eps) - jnp.log(p_src + eps)), axis=-1)
+
+
+def loss_softkd(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
+                noun_boxes: jnp.ndarray, sth_boxes: jnp.ndarray,
+                t2q_noun: jnp.ndarray, t2q_sth: jnp.ndarray,
+                box_valid: jnp.ndarray, sample_valid: jnp.ndarray) -> jnp.ndarray:
+    """Preference distillation (reference mdetr.py:520-599).
+
+    TP pairs: queries matched to the same target in the two streams. FP pairs:
+    remaining queries re-paired by a second assignment over KL + L1 + (-GIoU)
+    (softkd_matcher :520-541, unit weights). KL(teacher||student) per pair,
+    mean over the Q rows per image, mean over valid images.
+    """
+    from toist_tpu.ops.lsa import solve_lsa
+
+    B, Q = noun_logits.shape[:2]
+    N = t2q_noun.shape[1]
+    bi_noun = jax.lax.stop_gradient(_binary_prob(noun_logits))   # [B, Q, 2]
+    bi_sth = _binary_prob(sth_logits)
+    bv = box_valid & sample_valid[:, None]
+
+    # TP pairs, aligned by target slot.
+    tp_noun = _gather_queries(bi_noun, t2q_noun)                 # [B, N, 2]
+    tp_sth = _gather_queries(bi_sth, t2q_sth)
+    tp_kl = _kl2(tp_noun, tp_sth) * bv                           # [B, N]
+
+    # FP sets: compact unmatched queries to the front (stable), per stream.
+    def compact(order_mask):
+        return jnp.argsort(order_mask, axis=-1, stable=True)     # False first
+
+    m_noun = matched_query_mask(t2q_noun, Q)                     # [B, Q]
+    m_sth = matched_query_mask(t2q_sth, Q)
+    ord_noun = compact(m_noun)
+    ord_sth = compact(m_sth)
+    fpn_bi = jnp.take_along_axis(bi_noun, ord_noun[..., None], axis=1)
+    fps_bi = jnp.take_along_axis(bi_sth, ord_sth[..., None], axis=1)
+    fpn_box = jnp.take_along_axis(noun_boxes.astype(jnp.float32),
+                                  ord_noun[..., None], axis=1)
+    fps_box = jnp.take_along_axis(sth_boxes.astype(jnp.float32),
+                                  ord_sth[..., None], axis=1)
+    n_fp = Q - jnp.sum(bv, axis=-1)                              # [B]
+
+    # Cost [B, Q(sth rows), Q(noun cols)]: KL(noun||sth) + L1 + (-GIoU).
+    c_kl = jnp.sum(
+        fpn_bi[:, None, :, :] * (jnp.log(fpn_bi[:, None, :, :] + 1e-10) -
+                                 jnp.log(fps_bi[:, :, None, :] + 1e-10)),
+        axis=-1)
+    c_l1 = jnp.sum(jnp.abs(fps_box[:, :, None, :] - fpn_box[:, None, :, :]),
+                   axis=-1)
+    c_giou = -jax.vmap(box_ops.generalized_box_iou)(
+        box_ops.box_cxcywh_to_xyxy(fps_box), box_ops.box_cxcywh_to_xyxy(fpn_box))
+    cost = c_kl + c_l1 + c_giou
+    # Invalid (matched) columns must not be assigned to valid FP rows.
+    col_invalid = jnp.arange(Q)[None, :] >= n_fp[:, None]
+    cost = jnp.where(col_invalid[:, None, :], 1e6, cost)
+    assign = jax.lax.stop_gradient(
+        jax.vmap(solve_lsa)(cost, n_fp))                          # [B, Q]
+    paired_noun = _gather_queries(fpn_bi, assign)                 # [B, Q, 2]
+    fp_row_valid = (jnp.arange(Q)[None, :] < n_fp[:, None]) & \
+        sample_valid[:, None]
+    fp_kl = _kl2(paired_noun, fps_bi) * fp_row_valid
+
+    per_image = (jnp.sum(tp_kl, axis=-1) + jnp.sum(fp_kl, axis=-1)) / Q
+    denom = jnp.maximum(jnp.sum(sample_valid), 1)
+    return jnp.sum(per_image * sample_valid) / denom
+
+
+def loss_nsthl2(noun_text_memory: jnp.ndarray, sth_text_memory: jnp.ndarray,
+                noun_spans: jnp.ndarray, sth_spans: jnp.ndarray,
+                box_valid: jnp.ndarray, sample_valid: jnp.ndarray) -> jnp.ndarray:
+    """L2 text-feature distillation (reference mdetr.py:668-781): MSE between
+    the student's pooled "something" feature and the teacher's pooled noun
+    feature (detached), averaged over images that have matched boxes."""
+    from toist_tpu.train.cluster import pool_span_features
+
+    bv = box_valid & sample_valid[:, None]
+    pooled_noun, has_noun = pool_span_features(
+        noun_text_memory.astype(jnp.float32), noun_spans, bv)
+    pooled_sth, has_sth = pool_span_features(
+        sth_text_memory.astype(jnp.float32), sth_spans, bv)
+    ok = (jnp.sum(bv, axis=-1) > 0) & sample_valid
+    mse = jnp.mean(
+        (pooled_sth - jax.lax.stop_gradient(pooled_noun)) ** 2, axis=-1)
+    denom = jnp.maximum(jnp.sum(ok), 1)
+    return jnp.sum(mse * ok) / denom
 
 
 def build_weight_dict(cfg: LossConfig, masks: bool,

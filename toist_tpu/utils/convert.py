@@ -1,0 +1,214 @@
+"""torch -> JAX checkpoint converter for published MDETR/TOIST weights.
+
+Maps the reference's state_dict layout (models/mdetr.py MDETR + models/transformer.py
+Transformer + torchvision ResNet FrozenBN backbone + HF RobertaModel + the
+segmentation head, checkpoint format main.py:641-652) onto this framework's param /
+frozen pytrees. Handles (SURVEY.md §7 hard part 3):
+
+  * torch Linear [out,in] -> flax Dense kernel [in,out] (transpose)
+  * torch Conv2d [out,in,kh,kw] -> flax Conv kernel [kh,kw,in,out]
+  * nn.MultiheadAttention packed in_proj [3D,D] -> separate q/k/v projections
+  * FrozenBatchNorm2d buffers -> the 'frozen' collection
+  * DDP 'module.' and DETRsegm 'detr.' prefixes stripped (main.py:498-507)
+  * EMA-preferred checkpoint keys handled by the caller (checkpoint.load_params)
+
+The input is a plain dict of numpy arrays (load torch .pth via
+``torch.load(..., map_location='cpu')`` then ``{k: v.numpy() ...}``) so this module
+itself does not depend on torch.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _strip_prefixes(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        for pre in ("module.", "detr."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = np.asarray(v)
+    return out
+
+
+def _lin(sd, key):
+    return {"kernel": sd[f"{key}.weight"].T, "bias": sd[f"{key}.bias"]}
+
+
+def _ln(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _conv(sd, key, with_bias=False):
+    out = {"kernel": sd[f"{key}.weight"].transpose(2, 3, 1, 0)}
+    if with_bias:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _gn(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _frozen_bn(sd, key):
+    return {"weight": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"],
+            "running_mean": sd[f"{key}.running_mean"],
+            "running_var": sd[f"{key}.running_var"]}
+
+
+def _mha(sd, key, d_model):
+    """Packed torch nn.MultiheadAttention -> q/k/v/out projections."""
+    w = sd[f"{key}.in_proj_weight"]      # [3D, D]
+    b = sd[f"{key}.in_proj_bias"]        # [3D]
+    qw, kw, vw = w[:d_model], w[d_model:2 * d_model], w[2 * d_model:]
+    qb, kb, vb = b[:d_model], b[d_model:2 * d_model], b[2 * d_model:]
+    return {
+        "q_proj": {"kernel": qw.T, "bias": qb},
+        "k_proj": {"kernel": kw.T, "bias": kb},
+        "v_proj": {"kernel": vw.T, "bias": vb},
+        "out_proj": _lin(sd, f"{key}.out_proj"),
+    }
+
+
+def _hf_attention(sd, key):
+    """HF BertSelfAttention (+output) -> our MultiheadAttention layout."""
+    return {
+        "q_proj": _lin(sd, f"{key}.self.query"),
+        "k_proj": _lin(sd, f"{key}.self.key"),
+        "v_proj": _lin(sd, f"{key}.self.value"),
+        "out_proj": _lin(sd, f"{key}.output.dense"),
+    }
+
+
+def _resnet(sd, frozen, params, stage_sizes):
+    base = "backbone.0.body"
+    params["backbone"] = {"conv1": _conv(sd, f"{base}.conv1")}
+    frozen["backbone"] = {"FrozenBN_0": _frozen_bn(sd, f"{base}.bn1")}
+    for s, blocks in enumerate(stage_sizes, start=1):
+        for b in range(blocks):
+            t = f"{base}.layer{s}.{b}"
+            name = f"layer{s}_{b}"
+            p = {"conv1": _conv(sd, f"{t}.conv1"),
+                 "conv2": _conv(sd, f"{t}.conv2"),
+                 "conv3": _conv(sd, f"{t}.conv3")}
+            f = {"FrozenBN_0": _frozen_bn(sd, f"{t}.bn1"),
+                 "FrozenBN_1": _frozen_bn(sd, f"{t}.bn2"),
+                 "FrozenBN_2": _frozen_bn(sd, f"{t}.bn3")}
+            if f"{t}.downsample.0.weight" in sd:
+                p["downsample_conv"] = _conv(sd, f"{t}.downsample.0")
+                f["FrozenBN_3"] = _frozen_bn(sd, f"{t}.downsample.1")
+            params["backbone"][name] = p
+            frozen["backbone"][name] = f
+
+
+def _roberta(sd, d_model):
+    base = "transformer.text_encoder"
+    te = {
+        "embeddings": {
+            "word_embeddings": {
+                "embedding": sd[f"{base}.embeddings.word_embeddings.weight"]},
+            "position_embeddings": {
+                "embedding": sd[f"{base}.embeddings.position_embeddings.weight"]},
+            "token_type_embeddings": {
+                "embedding": sd[f"{base}.embeddings.token_type_embeddings.weight"]},
+            "LayerNorm": _ln(sd, f"{base}.embeddings.LayerNorm"),
+        }
+    }
+    i = 0
+    while f"{base}.encoder.layer.{i}.attention.self.query.weight" in sd:
+        t = f"{base}.encoder.layer.{i}"
+        te[f"layer_{i}"] = {
+            "attention": _hf_attention(sd, f"{t}.attention"),
+            "attention_norm": _ln(sd, f"{t}.attention.output.LayerNorm"),
+            "intermediate": _lin(sd, f"{t}.intermediate.dense"),
+            "output": _lin(sd, f"{t}.output.dense"),
+            "output_norm": _ln(sd, f"{t}.output.LayerNorm"),
+        }
+        i += 1
+    return te
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any], d_model: int = 256,
+                             enc_layers: int = 6, dec_layers: int = 6,
+                             stage_sizes=(3, 4, 23, 3),
+                             with_masks: bool = False
+                             ) -> Tuple[Dict, Dict]:
+    """Reference state_dict -> (params, frozen) pytrees for TOIST."""
+    sd = _strip_prefixes(state_dict)
+    params: Dict[str, Any] = {}
+    frozen: Dict[str, Any] = {}
+
+    _resnet(sd, frozen, params, stage_sizes)
+    params["input_proj"] = _conv(sd, "input_proj", with_bias=True)
+    params["query_embed"] = sd["query_embed.weight"]
+    params["class_embed"] = _lin(sd, "class_embed")
+    params["bbox_embed"] = {
+        f"layer{i}": _lin(sd, f"bbox_embed.layers.{i}") for i in range(3)}
+    if "contrastive_align_projection_image.weight" in sd:
+        params["contrastive_align_projection_image"] = _lin(
+            sd, "contrastive_align_projection_image")
+        params["contrastive_align_projection_text"] = _lin(
+            sd, "contrastive_align_projection_text")
+
+    enc = {}
+    for i in range(enc_layers):
+        t = f"transformer.encoder.layers.{i}"
+        enc[f"layer_{i}"] = {
+            "self_attn": _mha(sd, f"{t}.self_attn", d_model),
+            "ffn": {"linear1": _lin(sd, f"{t}.linear1"),
+                    "linear2": _lin(sd, f"{t}.linear2")},
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+        }
+    params["encoder"] = enc
+
+    dec = {"norm": _ln(sd, "transformer.decoder.norm")}
+    for i in range(dec_layers):
+        t = f"transformer.decoder.layers.{i}"
+        dec[f"layer_{i}"] = {
+            "self_attn": _mha(sd, f"{t}.self_attn", d_model),
+            "cross_attn_image": _mha(sd, f"{t}.cross_attn_image", d_model),
+            "ffn": {"linear1": _lin(sd, f"{t}.linear1"),
+                    "linear2": _lin(sd, f"{t}.linear2")},
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm3": _ln(sd, f"{t}.norm3"),
+            "norm4": _ln(sd, f"{t}.norm4"),
+        }
+    params["decoder"] = dec
+
+    params["resizer"] = {
+        "fc": _lin(sd, "transformer.resizer.fc"),
+        "layer_norm": _ln(sd, "transformer.resizer.layer_norm"),
+    }
+    params["text_encoder"] = _roberta(sd, d_model)
+
+    if with_masks:
+        params["bbox_attention"] = {
+            "q_linear": _lin(sd, "bbox_attention.q_linear"),
+            "k_linear": _lin(sd, "bbox_attention.k_linear"),
+        }
+        mh = {}
+        for i in range(1, 6):
+            mh[f"lay{i}"] = _conv(sd, f"mask_head.lay{i}", with_bias=True)
+            mh[f"gn{i}"] = _gn(sd, f"mask_head.gn{i}")
+        mh["out_lay"] = _conv(sd, "mask_head.out_lay", with_bias=True)
+        for i in range(1, 4):
+            mh[f"adapter{i}"] = _conv(sd, f"mask_head.adapter{i}",
+                                      with_bias=True)
+        params["mask_head"] = mh
+
+    # Shapes match TrainState conventions: `params` is the trainable collection
+    # tree, the second element is the extra-collections dict for model.apply.
+    return params, {"frozen": frozen}
+
+
+def load_reference_checkpoint(path: str, prefer_ema: bool = True, **kwargs):
+    """Load a reference .pth and convert (requires torch at call time)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu")
+    key = "model_ema" if (prefer_ema and payload.get("model_ema")) else "model"
+    sd = {k: v.detach().numpy() for k, v in payload[key].items()}
+    return convert_torch_state_dict(sd, **kwargs)

@@ -46,3 +46,27 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def prefetch_to_device(iterator, mesh: Optional[Mesh], size: int = 2):
+    """Wrap a host batch iterator with async device placement.
+
+    device_put dispatches asynchronously; keeping `size` batches in flight
+    overlaps host->device transfer with the running step. Without this, each
+    step pays the full batch transfer latency (measured 1.2s/step on the
+    tunneled TPU vs 0.2s compute).
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def put(b):
+        return shard_batch(b, mesh) if mesh is not None else \
+            jax.tree_util.tree_map(jax.device_put, b)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

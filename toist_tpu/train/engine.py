@@ -28,9 +28,8 @@ def train_one_epoch(train_step: Callable, state, batch_iter: BatchIterator,
     # engine.py:82-85) only every print_freq steps so the device pipeline
     # stays full between logging points.
     i = 0
-    for batch in logger.log_every(batch_iter.epoch(epoch), total=n_batches):
-        if mesh is not None:
-            batch = mesh_lib.shard_batch(batch, mesh)
+    batches = mesh_lib.prefetch_to_device(batch_iter.epoch(epoch), mesh)
+    for batch in logger.log_every(batches, total=n_batches):
         state, scalars = train_step(state, batch, rng)
         if i % print_freq == 0 or i == n_batches - 1:
             host = {k: float(v) for k, v in scalars.items()
@@ -68,10 +67,13 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
         it = BatchIterator([ds], spec, batch_size=batch_size, shuffle=False)
         logger = MetricLogger(print_freq=print_freq,
                               header=f"Eval task {task_id}:")
-        for batch in logger.log_every(it.epoch(0), total=len(it)):
-            np_batch = batch
-            if mesh is not None:
-                batch = mesh_lib.shard_batch(batch, mesh)
+        def _with_np(iterator):
+            for np_b in iterator:
+                dev_b = mesh_lib.shard_batch(np_b, mesh) if mesh is not None \
+                    else np_b
+                yield np_b, dev_b
+        for np_batch, batch in logger.log_every(_with_np(it.epoch(0)),
+                                                total=len(it)):
             res = eval_step(params, batch)
             post = {k: np.asarray(v) for k, v in res["post"].items()}
             masks = None

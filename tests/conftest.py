@@ -24,3 +24,12 @@ import jax  # noqa: E402
 if jax.config.jax_platforms != "cpu":
     jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent compilation cache: safe and fast on the true-CPU backend (the
+# earlier slowness was the remote-TPU tunnel, not the cache itself). Saves
+# the tiny-model train-step compiles across test runs.
+if jax.config.jax_compilation_cache_dir is None:
+    _cache = os.path.expanduser("~/.cache/toist_tpu_test_xla")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -82,13 +82,12 @@ def test_mask_training_decreases_loss(seg_model):
     train_step = make_train_step(model, SEG_CFG, wd, optimizer, frozen,
                                  with_masks=True)
     rng = jax.random.PRNGKey(0)
-    first = last = None
-    for i in range(60):
+    state, sc = train_step(state, batch, rng)
+    first = float(sc["loss_mask"]) + float(sc["loss_dice"])
+    for i in range(59):
         state, sc = train_step(state, batch, rng)
-        if first is None:
-            first = float(sc["loss_mask"]) + float(sc["loss_dice"])
-        last = float(sc["loss_mask"]) + float(sc["loss_dice"])
-        assert bool(sc["loss_is_finite"])
+    last = float(sc["loss_mask"]) + float(sc["loss_dice"])
+    assert bool(sc["loss_is_finite"])
     assert last < 0.7 * first, (first, last)
 
     # Eval produces per-query masks and postprocess RLE-encodes them.

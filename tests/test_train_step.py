@@ -69,13 +69,14 @@ def test_overfit_single_batch():
 
     train_step = make_train_step(model, CFG, wd, optimizer, frozen)
     rng = jax.random.PRNGKey(0)
-    first_loss, last_loss = None, None
-    for i in range(160):
+    state, scalars = train_step(state, batch, rng)
+    first_loss = float(scalars["loss"])
+    assert bool(scalars["loss_is_finite"])
+    # Avoid per-step host syncs (expensive here); fetch only the last scalars.
+    for i in range(159):
         state, scalars = train_step(state, batch, rng)
-        assert bool(scalars["loss_is_finite"])
-        if first_loss is None:
-            first_loss = float(scalars["loss"])
-        last_loss = float(scalars["loss"])
+    last_loss = float(scalars["loss"])
+    assert bool(scalars["loss_is_finite"])
     assert last_loss < 0.5 * first_loss, (first_loss, last_loss)
 
     # Eval step: top-scoring box should be near the target.

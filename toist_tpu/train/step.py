@@ -46,12 +46,35 @@ def model_forward(model, params, frozen, batch, rngs=None, deterministic=True):
 def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
                     optimizer: optax.GradientTransformation, frozen: Dict,
                     with_masks: bool = False) -> Callable:
-    """Plain (non-distillation) train step."""
+    """Plain (non-distillation) train step.
 
-    def loss_fn(params, batch, rng):
+    When cfg.loss.cluster is on (e.g. seg training over a frozen distilled
+    detector, scripts/train_seg_dis.sh), the reference runs infer_choice
+    between the phases (engine.py:63-66): the "something" span is snapped to
+    its cluster center, no cluster loss. The bank centers still evolve
+    (mdetr.py:225) and are threaded through TrainState.cluster_bank.
+    """
+    use_cluster = cfg.loss.cluster
+
+    def loss_fn(params, bank, batch, rng):
         rngs = {"dropout": rng}
-        out, cache = model_forward(model, params, frozen, batch, rngs=rngs,
-                                   deterministic=False)
+        if use_cluster:
+            from toist_tpu.train import cluster as cl
+            cache = model.apply(
+                {"params": params, **frozen}, batch["images"],
+                batch["image_mask"], batch["text_ids"], batch["text_mask"],
+                deterministic=False, rngs=rngs, method=model.encode)
+            bank, mod, _aux = cl.student_cluster(
+                bank, cache, batch, cfg.loss.kmeans_max_iters,
+                cfg.loss.kmeans_tol, train=False)
+            cache = dict(cache)
+            cache["img_memory_mod"] = mod
+            out = model.apply(
+                {"params": params, **frozen}, cache, deterministic=False,
+                use_modified_memory=True, rngs=rngs, method=model.decode)
+        else:
+            out, cache = model_forward(model, params, frozen, batch,
+                                       rngs=rngs, deterministic=False)
         losses = crit.set_criterion(out, batch, cfg.loss)
         t2q = losses.pop("_tgt2query")
         if with_masks:
@@ -66,14 +89,15 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
         total = crit.total_loss(losses, weight_dict)
         scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
         scalars["loss"] = total
-        return total, scalars
+        return total, (scalars, bank)
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = jax.random.fold_in(rng, state.step)
-        (loss, scalars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, step_rng)
+        (loss, (scalars, bank)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.cluster_bank, batch,
+                                   step_rng)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -81,7 +105,8 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
         if ema is not None:
             ema = ema_update(ema, params, cfg.optim.ema_decay)
         new_state = state.replace(params=params, opt_state=opt_state,
-                                  ema_params=ema, step=state.step + 1)
+                                  ema_params=ema, cluster_bank=bank,
+                                  step=state.step + 1)
         scalars["grad_norm"] = optax.global_norm(grads)
         scalars["loss_is_finite"] = jnp.isfinite(loss)
         return new_state, scalars

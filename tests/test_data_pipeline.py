@@ -133,6 +133,25 @@ def test_batch_iterator_static_shapes(fixture_root, tokenizer):
     np.testing.assert_allclose(batches[0]["images"], again[0]["images"])
 
 
+def test_portrait_images_not_dropped(tmp_path, tokenizer):
+    """Default buckets must cover both orientations (portrait samples used to
+    fall through pick() and silently vanish from eval)."""
+    from toist_tpu.data.fixtures import generate_fixture
+    root = generate_fixture(str(tmp_path / "portrait"), num_tasks=1,
+                            imgs_per_split=3, img_size=(320, 240), seed=9)
+    cfg = DataConfig(coco_path=root, refexp_ann_path=f"{root}/annotations",
+                     max_text_len=64)
+    ds = build_task_dataset(cfg, 1, "val", tokenizer)
+    spec = BucketSpec(buckets=default_buckets(), max_boxes=25)
+    it = BatchIterator([ds], spec, batch_size=2, seed=0, shuffle=False)
+    seen = 0
+    for b in it.epoch(0):
+        # portrait sample: H=1066 > W=800 -> second bucket
+        assert b["images"].shape[1:3] in ((800, 1344), (1344, 800))
+        seen += int(b["sample_valid"].sum())
+    assert seen == 3
+
+
 def test_batch_iterator_sharding(fixture_root, tokenizer):
     cfg = _cfg(fixture_root)
     datasets = [build_task_dataset(cfg, 1, "val", tokenizer)]

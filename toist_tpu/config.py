@@ -63,9 +63,10 @@ class DataConfig:
     refexp_ann_path: str = ""            # annotations dir (configs/tdod.json)
     tasks: Tuple[int, ...] = tuple(range(1, 15))  # COCO-Tasks task ids 1..14
     test: bool = False                   # --test (main.py:259)
-    # Static shapes.
-    image_buckets: Tuple[Tuple[int, int], ...] = ((512, 512), (800, 1333))
-    eval_bucket: Tuple[int, int] = (800, 1333)   # val resize 800 max 1333 (datasets/tdod.py:330)
+    # Static shapes. Empty = use batcher.default_buckets (two-orientation
+    # 800x1344 / 1344x800 canvases covering the 800/1333 resize envelope);
+    # custom lists must cover BOTH orientations or portrait samples drop.
+    image_buckets: Tuple[Tuple[int, int], ...] = ()
     max_text_len: int = 64               # static text token length (captions are short)
     num_logit_cols: int = 256            # positive-map width (datasets/tdod.py:152)
     max_boxes: int = 25                  # static per-image GT box slots + validity mask

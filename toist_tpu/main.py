@@ -130,8 +130,13 @@ def main(cfg: Config) -> Optional[float]:
         state, frozen, start_epoch = ckpt.restore(cfg.run.resume, state, frozen)
         start_epoch += 1
     elif cfg.run.load:
-        params, frozen = ckpt.load_params(cfg.run.load, prefer_ema=True)
-        state = state.replace(params=params)
+        loaded_params, loaded_frozen = ckpt.load_params(cfg.run.load,
+                                                        prefer_ema=True)
+        # Overlay: a detection checkpoint loaded into a seg model keeps the
+        # fresh mask-head init (reference --frozen_weights, main.py:475-489).
+        state = state.replace(params=ckpt.merge_params(state.params,
+                                                       loaded_params))
+        frozen = ckpt.merge_params(frozen, loaded_frozen)
 
     state = mesh_lib.replicate_tree(state, mesh)
     frozen = mesh_lib.replicate_tree(frozen, mesh)

@@ -47,3 +47,29 @@ def load_params(path: str, prefer_ema: bool = True) -> Tuple[Any, Any]:
     if params is None:
         params = state["params"]
     return params, payload["frozen"]
+
+
+def merge_params(init_tree: Any, loaded_tree: Any) -> Any:
+    """Overlay loaded params onto a (possibly larger) initialized tree.
+
+    The reference's --frozen_weights loads a detection checkpoint into the
+    `.detr` submodule of the seg model (main.py:475-489): the mask head keeps
+    its fresh init. Keys present in both must match shapes; keys only in the
+    init tree are kept; keys only in the checkpoint are ignored (e.g. dropping
+    contrastive projections when the target model disables them)."""
+    if isinstance(init_tree, dict):
+        out = {}
+        for k, v in init_tree.items():
+            if isinstance(loaded_tree, dict) and k in loaded_tree:
+                out[k] = merge_params(v, loaded_tree[k])
+            else:
+                out[k] = v
+        return out
+    import numpy as np
+    loaded = loaded_tree
+    if hasattr(init_tree, "shape") and hasattr(loaded, "shape"):
+        if tuple(init_tree.shape) != tuple(loaded.shape):
+            raise ValueError(
+                f"shape mismatch merging checkpoint: {loaded.shape} vs "
+                f"{init_tree.shape}")
+    return loaded

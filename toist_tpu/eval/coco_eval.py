@@ -39,6 +39,32 @@ class EvalParams:
     cat_ids: Tuple[int, ...] = (1,)   # COCO-Tasks pins catIds=1 (coco_eval.py:202)
 
 
+def _native_match(ious: np.ndarray, gt_ignore: np.ndarray,
+                  iscrowd: np.ndarray, thrs: np.ndarray, D: int, G: int):
+    """C++ greedy matcher; returns (dtm_idx [T,D] 1-based, dt_ignore [T,D])."""
+    import ctypes
+
+    from toist_tpu import native
+
+    T = len(thrs)
+    dtm = np.zeros((T, D), np.int32)
+    dt_ig = np.zeros((T, D), np.uint8)
+    gtm = np.zeros((T, max(G, 1)), np.int32)
+    if D:
+        lib = native.load()
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        gi = np.ascontiguousarray(gt_ignore, np.uint8)
+        ic = np.ascontiguousarray(iscrowd, np.uint8)
+        lib.coco_match(ious.ctypes.data_as(f64p), D, G,
+                       gi.ctypes.data_as(u8p), ic.ctypes.data_as(u8p),
+                       np.ascontiguousarray(thrs).ctypes.data_as(f64p), T,
+                       dtm.ctypes.data_as(i32p), dt_ig.ctypes.data_as(u8p),
+                       gtm.ctypes.data_as(i32p))
+    return dtm, dt_ig.astype(bool)
+
+
 def box_iou_xywh(dt: np.ndarray, gt: np.ndarray,
                  iscrowd: np.ndarray) -> np.ndarray:
     """[D,4],[G,4] xywh -> [D,G] IoU with crowd handling."""
@@ -124,28 +150,15 @@ class COCOEval:
 
         T = len(self.p.iou_thrs)
         D, G = len(dt), len(gt_sorted)
-        gtm = np.zeros((T, G), np.int64)
-        dtm = np.zeros((T, D), np.int64)
-        dt_ig = np.zeros((T, D), bool)
-        for tind, t in enumerate(self.p.iou_thrs):
-            for dind in range(D):
-                iou_best = min(t, 1 - 1e-10)
-                m = -1
-                for gind in range(G):
-                    if gtm[tind, gind] > 0 and not iscrowd[gind]:
-                        continue
-                    # Matched all non-ignored gt, best remaining is ignored: stop.
-                    if m > -1 and not gt_ig[m] and gt_ig[gind]:
-                        break
-                    if ious_s[dind, gind] < iou_best:
-                        continue
-                    iou_best = ious_s[dind, gind]
-                    m = gind
-                if m == -1:
-                    continue
-                dt_ig[tind, dind] = gt_ig[m]
-                dtm[tind, dind] = gt_sorted[m]["id"]
-                gtm[tind, m] = dt[dind]["id"]
+        # Greedy matching runs in C++ (toist_native.coco_match); the Python
+        # loop is the dominant cost of full-dataset eval otherwise.
+        dtm_idx, dt_ig = _native_match(
+            np.ascontiguousarray(ious_s, np.float64), gt_ig, iscrowd,
+            np.asarray(self.p.iou_thrs, np.float64), D, G)
+        gt_ids = np.array([g["id"] for g in gt_sorted], np.int64) \
+            if G else np.zeros(0, np.int64)
+        dtm = np.where(dtm_idx > 0, gt_ids[np.maximum(dtm_idx - 1, 0)]
+                       if G else 0, 0)
         # Unmatched detections outside the area range are ignored.
         d_areas = np.array(
             [d.get("area", d["bbox"][2] * d["bbox"][3]) for d in dt]) \

@@ -66,6 +66,10 @@ def load() -> ctypes.CDLL:
         lib.poly_to_mask.argtypes = [f64p, ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, u8p]
 
+        lib.coco_match.restype = None
+        lib.coco_match.argtypes = [f64p, ctypes.c_int, ctypes.c_int, u8p, u8p,
+                                   f64p, ctypes.c_int, i32p, u8p, i32p]
+
         lib.bpe_create.restype = ctypes.c_int
         lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                    ctypes.c_int]

@@ -218,6 +218,43 @@ int rle_from_string(const char* s, uint32_t* counts, int max_m) {
 }
 
 // ---------------------------------------------------------------------------
+// COCO evaluation greedy matching (the inner loop of COCOeval.evaluateImg).
+// For each IoU threshold t and each score-sorted detection d, find the best
+// still-unmatched (or crowd) gt with iou >= t, preferring non-ignored gts.
+// ious: [D, G] row-major. gt_ignore/iscrowd: [G]. thrs: [T].
+// Outputs (caller-allocated): dtm [T, D] (matched gt index +1, 0 = unmatched),
+// dt_ignore [T, D] (0/1), gtm [T, G] (matched dt index +1).
+// ---------------------------------------------------------------------------
+void coco_match(const double* ious, int D, int G, const uint8_t* gt_ignore,
+                const uint8_t* iscrowd, const double* thrs, int T,
+                int32_t* dtm, uint8_t* dt_ignore, int32_t* gtm) {
+  for (int t = 0; t < T; ++t) {
+    int32_t* dtm_t = dtm + (size_t)t * D;
+    uint8_t* dti_t = dt_ignore + (size_t)t * D;
+    int32_t* gtm_t = gtm + (size_t)t * G;
+    for (int g = 0; g < G; ++g) gtm_t[g] = 0;
+    for (int d = 0; d < D; ++d) {
+      double iou_best = thrs[t] < (1 - 1e-10) ? thrs[t] : (1 - 1e-10);
+      int m = -1;
+      const double* iou_d = ious + (size_t)d * G;
+      for (int g = 0; g < G; ++g) {
+        if (gtm_t[g] > 0 && !iscrowd[g]) continue;
+        // Best remaining gts are ignored and we already matched a non-ignored
+        // one: stop (gt list is sorted non-ignored first).
+        if (m > -1 && !gt_ignore[m] && gt_ignore[g]) break;
+        if (iou_d[g] < iou_best) continue;
+        iou_best = iou_d[g];
+        m = g;
+      }
+      if (m == -1) { dtm_t[d] = 0; dti_t[d] = 0; continue; }
+      dti_t[d] = gt_ignore[m];
+      dtm_t[d] = m + 1;
+      gtm_t[m] = d + 1;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Polygon -> mask rasterization (even-odd rule sampled at pixel centers,
 // 5x supersampled boundary handling via center-point test).
 // xy: flat [x0,y0,x1,y1,...] of k vertices. Writes into mask (column-major,

@@ -59,6 +59,56 @@ def test_train_and_eval_fixture(tmp_path):
 
 
 @pytest.mark.slow
+def test_segmentation_training_via_main(tmp_path):
+    """Workload 3: seg training over a frozen detector warm-started from a
+    detection checkpoint (--frozen_weights flow: merge_params keeps the fresh
+    mask head), then mask eval through the segm COCOEval path."""
+    root = generate_fixture(str(tmp_path / "data"), num_tasks=1,
+                            imgs_per_split=3, img_size=(96, 128), seed=4)
+    common_model = {
+        "backbone": "resnet18-test", "hidden_dim": 128, "nheads": 8,
+        "dim_feedforward": 128, "enc_layers": 1, "dec_layers": 1,
+        "num_queries": 8, "compute_dtype": "float32",
+        "contrastive_align_loss": False, "backbone_norm": "group_norm",
+        "text_hidden": 64, "text_layers": 1, "text_heads": 4,
+        "text_intermediate": 128,
+    }
+    common_data = {
+        "coco_path": root, "refexp_ann_path": root + "/annotations",
+        "tasks": [1], "image_buckets": [[128, 128]], "max_text_len": 48,
+        "max_boxes": 8, "train_scales": [96], "max_size": 128, "val_size": 96,
+    }
+    det_out = str(tmp_path / "det")
+    cfg_det = Config.from_sources(None, {
+        "model": common_model, "data": common_data,
+        "optim": {"train_batch_size": 2, "valid_batch_size": 2, "epochs": 1,
+                  "ema": False, "eval_skip": 5},
+        "run": {"output_dir": det_out, "seed": 0, "mesh_shape": [1]},
+    })
+    main(cfg_det)
+
+    seg_out = str(tmp_path / "seg")
+    cfg_seg = Config.from_sources(None, {
+        "model": {**common_model, "mask_model": "smallconv",
+                  "frozen_detector": True},
+        "data": common_data,
+        "optim": {"train_batch_size": 2, "valid_batch_size": 2, "epochs": 1,
+                  "ema": False, "eval_skip": 1},
+        "loss": {"aux_loss": False},
+        "run": {"output_dir": seg_out, "seed": 0, "mesh_shape": [1],
+                "load": os.path.join(det_out, "checkpoint")},
+    })
+    best = main(cfg_seg)
+    assert np.isfinite(best)
+    log = [json.loads(l) for l in open(os.path.join(seg_out, "log.jsonl"))]
+    steps = [r for r in log if r["kind"] == "train_step"]
+    assert steps and "loss_mask" in steps[0] and "loss_dice" in steps[0]
+    evals = [r for r in log if r["kind"] == "eval"]
+    assert "segm" in evals[-1]["per_task"][
+        list(evals[-1]["per_task"].keys())[0]]
+
+
+@pytest.mark.slow
 def test_distillation_training_fixture(tmp_path):
     """Workload 4 (SURVEY.md Appendix A): distillation train + cluster eval."""
     root = generate_fixture(str(tmp_path / "data"), num_tasks=2,

@@ -11,7 +11,6 @@ Run:  python -m toist_tpu.main --config configs/fixture.json [--eval] [--resume 
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
@@ -65,7 +64,22 @@ def build_all(cfg: Config, image_set_for_eval: str = "val"):
     return tokenizer, model, spec
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host rendezvous (the reference's init_distributed_mode,
+    util/dist.py:205-229). jax.distributed.initialize auto-detects TPU pod
+    environments; opt in via TOIST_DISTRIBUTED=1 to stay inert on single-host
+    dev machines."""
+    import jax
+
+    if os.environ.get("TOIST_DISTRIBUTED") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or single-host
+            print(f"jax.distributed.initialize skipped: {e}", flush=True)
+
+
 def main(cfg: Config) -> Optional[float]:
+    maybe_init_distributed()
     mesh = mesh_lib.make_mesh(cfg.run.mesh_shape, cfg.run.mesh_axes)
     tokenizer, model, spec = build_all(cfg)
     jsonl = JsonlLogger(cfg.run.output_dir)

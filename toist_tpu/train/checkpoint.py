@@ -10,9 +10,8 @@ warm-start, --resume full restore, --frozen_weights into a submodule) map to
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from toist_tpu.train.state import TrainState

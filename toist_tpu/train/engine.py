@@ -7,9 +7,8 @@ stats vectors + 14-task mean AP@0.5 (engine.py:253-342, main.py:581-590).
 from __future__ import annotations
 
 import sys
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
-import jax
 import numpy as np
 
 from toist_tpu.data.batcher import BatchIterator, BucketSpec

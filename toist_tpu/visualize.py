@@ -9,14 +9,13 @@ Run: python -m toist_tpu.visualize --config c.json --resume ckpt --out vis_dir
 """
 from __future__ import annotations
 
-import argparse
 import os
 from typing import Optional
 
 import numpy as np
 
 from toist_tpu.config import Config
-from toist_tpu.data.batcher import BatchIterator, BucketSpec
+from toist_tpu.data.batcher import BatchIterator
 from toist_tpu.data.cocotasks import build_task_dataset
 from toist_tpu.main import build_all, parse_args
 from toist_tpu.models.postprocess import postprocess_masks_host

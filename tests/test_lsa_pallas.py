@@ -1,0 +1,40 @@
+"""Pallas LSA kernel: equivalence with the XLA solver and scipy."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from toist_tpu.ops.lsa import solve_lsa_batch
+from toist_tpu.ops.lsa_pallas import solve_lsa_batch_pallas
+
+
+@pytest.mark.parametrize("shape,nvals", [
+    ((3, 12, 50), (0, 3, 12)),
+    ((4, 25, 100), (25, 1, 7, 25)),
+])
+def test_pallas_matches_scipy(shape, nvals):
+    rng = np.random.default_rng(0)
+    B, R, C = shape
+    cost = rng.normal(size=shape).astype(np.float32)
+    n = np.array([nvals[i % len(nvals)] for i in range(B)], np.int32)
+    out = np.asarray(solve_lsa_batch_pallas(jnp.asarray(cost), jnp.asarray(n),
+                                            interpret=True))
+    for b in range(B):
+        if n[b]:
+            rows, cols = linear_sum_assignment(cost[b, :n[b]])
+            np.testing.assert_allclose(
+                cost[b, np.arange(n[b]), out[b, :n[b]]].sum(),
+                cost[b, rows, cols].sum(), rtol=1e-5, atol=1e-5)
+            assert len(set(out[b, :n[b]].tolist())) == n[b]
+        assert (out[b, n[b]:] == -1).all()
+
+
+def test_pallas_matches_xla_solver():
+    rng = np.random.default_rng(1)
+    cost = rng.uniform(size=(5, 20, 100)).astype(np.float32)
+    n = np.array([20, 5, 0, 13, 20], np.int32)
+    a = np.asarray(solve_lsa_batch(jnp.asarray(cost), jnp.asarray(n)))
+    b = np.asarray(solve_lsa_batch_pallas(jnp.asarray(cost), jnp.asarray(n),
+                                          interpret=True))
+    # Continuous costs: unique optimum, assignments identical.
+    np.testing.assert_array_equal(a, b)

@@ -74,7 +74,14 @@ def hungarian_match(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     cost_t = jnp.take_along_axis(
         jnp.swapaxes(cost, 1, 2), order[:, :, None], axis=1)          # [B, T, Q]
     # Padded target rows get zero cost rows (ignored by solver via n_rows).
-    assigned = jax.vmap(solve_lsa)(cost_t, n_valid)                   # [B, T] query idx
+    # Backend: the vmapped XLA solver by default; TOIST_LSA_BACKEND=pallas runs
+    # the VMEM-resident Pallas kernel (ops/lsa_pallas.py, bitwise-identical).
+    import os
+    if os.environ.get("TOIST_LSA_BACKEND") == "pallas":
+        from toist_tpu.ops.lsa_pallas import solve_lsa_batch_pallas
+        assigned = solve_lsa_batch_pallas(cost_t, n_valid)            # [B, T]
+    else:
+        assigned = jax.vmap(solve_lsa)(cost_t, n_valid)               # [B, T]
     # Scatter back to original target order.
     tgt2query = jnp.full(tgt_valid.shape, -1, jnp.int32)
     tgt2query = jax.vmap(lambda t2q, o, a: t2q.at[o].set(a))(tgt2query, order, assigned)

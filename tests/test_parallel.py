@@ -64,3 +64,64 @@ def test_sharded_step_matches_single_device():
     # Replicated output really is replicated (single value per leaf).
     leaf = jax.tree_util.tree_leaves(s8.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_distillation_bank_identical_under_sharding():
+    """The cluster bank must evolve identically whether the batch is sharded
+    over 8 devices or runs on one (SURVEY.md §7 hard part 5: deterministic
+    global-batch-order updates replace the reference's all_gather + re-sync)."""
+    import jax.numpy as jnp
+
+    from toist_tpu.config import LossConfig
+    from toist_tpu.models.toist import build_model
+    from toist_tpu.train import cluster as cl
+    from toist_tpu.train.distill import make_distillation_train_step
+    from toist_tpu.train.state import TrainState
+    from toist_tpu.train.step import init_variables, split_variables
+    from tests.test_distillation import _paired_batch
+
+    cfg = CFG.replace(loss=LossConfig(
+        aux_loss=False, distillation=True, softkd_loss=True,
+        nsthl2_loss=True, nsthl2_coef=1.0, cluster=True,
+        cluster_memory_size=16, cluster_num=2, kmeans_max_iters=8))
+    model = build_model(cfg.model, text_vocab_size=600)
+    batches = _paired_batch()
+    # Widen to 8 samples for an even shard.
+    def widen(b):
+        return {k: jnp.concatenate([v] * 4, axis=0) for k, v in b.items()}
+    batches = {k: widen(v) for k, v in batches.items()}
+    optimizer = make_optimizer(cfg.optim, 10, 1000)
+    from toist_tpu.train.step import init_train_state
+    state, frozen = init_train_state(model, cfg, optimizer, batches["sth"],
+                                     seed=0)
+    tvars = init_variables(model, batches["noun"], seed=1)
+    tparams, tfrozen = split_variables(tvars)
+    bank = cl.init_bank(14, 16, 2, cfg.model.hidden_dim)
+    state = TrainState(
+        params=state.params,
+        opt_state=optimizer.init({"student": state.params,
+                                  "teacher": tparams}),
+        ema_params=None, step=jnp.int32(0), teacher_params=tparams,
+        teacher_ema_params=None, cluster_bank=bank)
+    from toist_tpu.train.criterion import build_weight_dict
+    wd = build_weight_dict(cfg.loss, masks=False, num_dec_layers=1)
+    step = make_distillation_train_step(model, cfg, wd, optimizer, frozen,
+                                        tfrozen)
+    rng = jax.random.PRNGKey(0)
+
+    s1, sc1 = step(state, batches, rng)
+
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    state8 = mesh_lib.replicate_tree(state, mesh)
+    b8 = mesh_lib.shard_batch(batches, mesh)
+    s8, sc8 = step(state8, b8, rng)
+
+    np.testing.assert_allclose(float(sc1["loss"]), float(sc8["loss"]),
+                               rtol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.cluster_bank.feature_bank),
+        np.asarray(s8.cluster_bank.feature_bank), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(s1.cluster_bank.update_count),
+        np.asarray(s8.cluster_bank.update_count))

@@ -67,10 +67,18 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
         logger = MetricLogger(print_freq=print_freq,
                               header=f"Eval task {task_id}:")
         def _with_np(iterator):
+            # One batch of device-placement lookahead: device_put dispatches
+            # asynchronously, overlapping the next transfer with eval compute.
+            import collections
+            queue = collections.deque()
             for np_b in iterator:
                 dev_b = mesh_lib.shard_batch(np_b, mesh) if mesh is not None \
                     else np_b
-                yield np_b, dev_b
+                queue.append((np_b, dev_b))
+                if len(queue) >= 2:
+                    yield queue.popleft()
+            while queue:
+                yield queue.popleft()
         for np_batch, batch in logger.log_every(_with_np(it.epoch(0)),
                                                 total=len(it)):
             res = eval_step(params, batch)

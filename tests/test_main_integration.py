@@ -139,3 +139,13 @@ def test_distillation_training_fixture(tmp_path):
     log = [json.loads(l) for l in open(os.path.join(out_dir, "log.jsonl"))]
     steps = [r for r in log if r["kind"] == "train_step"]
     assert steps and "loss_softkd" in steps[0] and "noun_loss_ce" in steps[0]
+
+    # Eval-only resume of the distillation checkpoint (scripts/eval_dete_dis.sh
+    # flow: template must carry teacher/bank fields to restore the ckpt).
+    cfg_eval = Config.from_sources(None, {
+        **{k: v for k, v in cfg.to_dict().items() if k != "run"},
+        "run": {"eval_only": True, "seed": 0, "mesh_shape": [1],
+                "resume": os.path.join(out_dir, "checkpoint")},
+    })
+    m = main(cfg_eval)
+    assert np.isfinite(m)

@@ -142,6 +142,7 @@ class RunConfig:
     load_noun: str = ""
     start_epoch: int = 0
     eval_only: bool = False
+    profile_dir: str = ""                # jax.profiler trace of the first epoch
     # Mesh: data parallelism is the reference's only strategy (SURVEY.md §2.2).
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the 'data' axis
     mesh_axes: Tuple[str, ...] = ("data",)

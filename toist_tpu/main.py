@@ -194,8 +194,11 @@ def main(cfg: Config) -> Optional[float]:
     best_map = -1.0
     for epoch in range(start_epoch, cfg.optim.epochs):
         t0 = time.time()
-        state, train_stats = engine.train_one_epoch(
-            train_step, state, train_iter, epoch, rng, mesh=mesh, jsonl=jsonl)
+        from toist_tpu.utils.profiling import trace
+        with trace(cfg.run.profile_dir if epoch == start_epoch else None):
+            state, train_stats = engine.train_one_epoch(
+                train_step, state, train_iter, epoch, rng, mesh=mesh,
+                jsonl=jsonl)
         jsonl.write({"kind": "epoch", "epoch": epoch,
                      "seconds": time.time() - t0, **train_stats})
         if cfg.run.output_dir and jax.process_index() == 0:

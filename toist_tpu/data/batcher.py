@@ -148,7 +148,8 @@ class BatchIterator:
 
     def __init__(self, datasets: List, spec: BucketSpec, batch_size: int,
                  seed: int = 42, shuffle: bool = True, drop_last: bool = False,
-                 shard_id: int = 0, num_shards: int = 1, paired: bool = False):
+                 shard_id: int = 0, num_shards: int = 1, paired: bool = False,
+                 num_workers: int = 4):
         """paired=True: datasets yield (noun, sth) pairs (distillation train,
         reference collate_fn util/misc.py:40-92); epochs then yield
         {"noun": Batch, "sth": Batch} with aligned rows."""
@@ -161,6 +162,7 @@ class BatchIterator:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.paired = paired
+        self.num_workers = num_workers
         self._index: List[Tuple[int, int]] = []
         for di, ds in enumerate(datasets):
             for si in range(len(ds)):
@@ -171,12 +173,50 @@ class BatchIterator:
         return per_shard // self.batch_size if self.drop_last else \
             -(-per_shard // self.batch_size)
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int,
+              num_workers: int = None) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield fixed-shape batches; samples are loaded/transformed by a
+        thread pool (the reference's DataLoader num_workers equivalent —
+        PIL decode/resize release the GIL). Ordering stays deterministic:
+        futures are submitted and consumed in epoch order."""
+        if num_workers is None:
+            num_workers = self.num_workers
         rng = np.random.default_rng(self.seed + epoch)
         order = np.arange(len(self._index))
         if self.shuffle:
             rng.shuffle(order)
         order = order[self.shard_id::self.num_shards]
+
+        def load(flat_idx):
+            di, si = self._index[flat_idx]
+            sample_rng = np.random.default_rng(
+                (self.seed, epoch, int(flat_idx)))
+            return self.datasets[di].get(si, sample_rng)
+
+        if num_workers > 1 and len(order):
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=num_workers)
+            inflight = collections.deque()
+            it = iter(order)
+
+            def loaded():
+                try:
+                    for _ in range(num_workers * 2):
+                        inflight.append(pool.submit(load, next(it)))
+                except StopIteration:
+                    pass
+                while inflight:
+                    result = inflight.popleft().result()
+                    try:
+                        inflight.append(pool.submit(load, next(it)))
+                    except StopIteration:
+                        pass
+                    yield result
+                pool.shutdown(wait=False)
+            sample_lists = loaded()
+        else:
+            sample_lists = (load(i) for i in order)
 
         pending: Dict[int, List] = {}
 
@@ -187,11 +227,7 @@ class BatchIterator:
                         "sth": collate(sths, self.spec, bi, self.batch_size)}
             return collate(items, self.spec, bi, self.batch_size)
 
-        for flat_idx in order:
-            di, si = self._index[flat_idx]
-            sample_rng = np.random.default_rng(
-                (self.seed, epoch, int(flat_idx)))
-            samples = self.datasets[di].get(si, sample_rng)
+        for samples in sample_lists:
             if self.paired:
                 assert len(samples) == 2, "paired mode expects (noun, sth)"
                 items = [tuple(samples)]

@@ -126,10 +126,16 @@ def resize(image: Image.Image, target: Optional[dict], size,
     return rescaled, target
 
 
+_NORM_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
+_NORM_SHIFT = (IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
+
+
 def to_array_and_normalize(image: Image.Image, target: Optional[dict]):
     """PIL -> float32 HWC normalized; boxes -> normalized cxcywh (reference :257-273)."""
-    arr = np.asarray(image.convert("RGB"), np.float32) / 255.0
-    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    # One fused in-place pass: (x/255 - mean)/std == x*scale - shift.
+    arr = np.asarray(image.convert("RGB"), np.float32)
+    np.multiply(arr, _NORM_SCALE, out=arr)
+    np.subtract(arr, _NORM_SHIFT, out=arr)
     if target is None:
         return arr, None
     target = dict(target)

@@ -101,7 +101,7 @@ def main(cfg: Config) -> Optional[float]:
             train_sets, spec, batch_size=cfg.optim.train_batch_size,
             seed=cfg.run.seed, shuffle=True,
             shard_id=jax.process_index(), num_shards=jax.process_count(),
-            paired=cfg.loss.distillation)
+            paired=cfg.loss.distillation, num_workers=cfg.data.num_workers)
         steps_per_epoch = max(1, len(train_iter))
     total_steps = steps_per_epoch * cfg.optim.epochs
 

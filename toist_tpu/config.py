@@ -45,9 +45,15 @@ class ModelConfig:
     mask_model: str = "none"             # --mask_model {none,smallconv} (main.py:164-169)
     masks: bool = False                  # derived: mask_model != none => True (main.py:297-298)
     frozen_detector: bool = False        # seg training freezes wrapped detector
-    # TPU additions (no reference counterpart): compute dtype policy.
+    # TPU additions (no reference counterpart): compute dtype policy and
+    # rematerialization (jax.checkpoint on backbone blocks + encoder layers).
+    # NB measured on v5e at 800x1344: remat=False trains batch 16 in 15.75GB
+    # while remat=True OOMs at 25GB — XLA:TPU's automatic rematerialization
+    # beats this manual policy, so the flag stays off by default; retained for
+    # experimentation on other shapes.
     compute_dtype: str = "bfloat16"      # activations/matmul dtype on TPU
     param_dtype: str = "float32"
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -78,8 +78,21 @@ def maybe_init_distributed() -> None:
             print(f"jax.distributed.initialize skipped: {e}", flush=True)
 
 
+def git_sha() -> str:
+    """Best-effort git stamp (reference util/misc.py:19-37, main.py:294)."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=5).stdout.strip() or "n/a"
+    except Exception:
+        return "n/a"
+
+
 def main(cfg: Config) -> Optional[float]:
     maybe_init_distributed()
+    print(f"toist_tpu git sha: {git_sha()}", flush=True)
     mesh = mesh_lib.make_mesh(cfg.run.mesh_shape, cfg.run.mesh_axes)
     tokenizer, model, spec = build_all(cfg)
     jsonl = JsonlLogger(cfg.run.output_dir)

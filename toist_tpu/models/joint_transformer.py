@@ -77,14 +77,17 @@ class JointEncoder(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask, deterministic=True):
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(4,)) \
+            if self.remat else EncoderLayer
         for i in range(self.num_layers):
-            src = EncoderLayer(self.d_model, self.nhead, self.dim_feedforward,
-                               self.dropout, self.dtype,
-                               name=f"layer_{i}")(src, pos, key_padding_mask,
-                                                  deterministic)
+            src = layer_cls(self.d_model, self.nhead, self.dim_feedforward,
+                            self.dropout, self.dtype,
+                            name=f"layer_{i}")(src, pos, key_padding_mask,
+                                               deterministic)
         return src
 
 

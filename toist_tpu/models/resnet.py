@@ -98,6 +98,7 @@ class ResNet(nn.Module):
     norm_type: str = "frozen_bn"
     dilation: bool = False                       # dilate last stage (backbone.py:88)
     dtype: Any = jnp.float32
+    remat: bool = False                          # checkpoint each bottleneck block
 
     @nn.compact
     def __call__(self, x, pad_mask=None) -> Dict[str, jnp.ndarray]:
@@ -120,12 +121,13 @@ class ResNet(nn.Module):
             last = si == len(self.stage_sizes) - 1
             stride = 1 if si == 0 or (last and self.dilation) else 2
             dil = 2 if (last and self.dilation) else 1
+            block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
             for bi in range(blocks):
-                x = Bottleneck(width,
-                               strides=stride if bi == 0 else 1,
-                               dilation=dil,
-                               norm_type=self.norm_type, dtype=self.dtype,
-                               name=f"layer{si + 1}_{bi}")(x)
+                x = block_cls(width,
+                              strides=stride if bi == 0 else 1,
+                              dilation=dil,
+                              norm_type=self.norm_type, dtype=self.dtype,
+                              name=f"layer{si + 1}_{bi}")(x)
             x = apply_mask(x)
             feats[f"layer{si + 1}"] = x
         return feats
@@ -135,13 +137,14 @@ def resnet_num_channels() -> int:
     return 2048
 
 
-def make_resnet(name: str, norm_type: str, dilation: bool, dtype) -> ResNet:
+def make_resnet(name: str, norm_type: str, dilation: bool, dtype,
+                remat: bool = False) -> ResNet:
     sizes = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
              "resnet18-test": (1, 1, 1, 1)}
     if name not in sizes:
         raise ValueError(f"unknown backbone {name}")
     return ResNet(stage_sizes=sizes[name], norm_type=norm_type,
-                  dilation=dilation, dtype=dtype)
+                  dilation=dilation, dtype=dtype, remat=remat)
 
 
 def downsample_mask(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

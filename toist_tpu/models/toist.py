@@ -45,7 +45,7 @@ class TOIST(nn.Module):
         cfg = self.cfg
         dt = self.compute_dtype
         self.backbone = make_resnet(cfg.backbone, self.backbone_norm,
-                                    cfg.dilation, dt)
+                                    cfg.dilation, dt, remat=cfg.remat)
         self.input_proj = nn.Conv(cfg.hidden_dim, (1, 1), dtype=dt,
                                   name="input_proj")
         self.text_encoder = RobertaEncoder(
@@ -57,7 +57,7 @@ class TOIST(nn.Module):
                                       name="resizer")
         self.encoder = JointEncoder(cfg.hidden_dim, cfg.nheads, cfg.enc_layers,
                                     cfg.dim_feedforward, cfg.dropout, dt,
-                                    name="encoder")
+                                    remat=cfg.remat, name="encoder")
         self.decoder = QueryDecoder(cfg.hidden_dim, cfg.nheads, cfg.dec_layers,
                                     cfg.dim_feedforward, cfg.dropout, dt,
                                     name="decoder")

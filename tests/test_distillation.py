@@ -91,6 +91,37 @@ def test_span_pooling():
     assert bool(has[0])
 
 
+def test_student_snapping_with_zero_boxes():
+    """Eval images with NO preferred annotations must still be snapped: the
+    reference derives the 'something' span from the caption, not from GT boxes
+    (mdetr.py:282-312 captions[i].find('something'))."""
+    bank = cl.init_bank(task_count=2, memory_size=4, cluster_num=2,
+                        feature_dim=4, seed=0)
+    B, S_img, T, D = 1, 3, 6, 4
+    tm = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, D)),
+                     jnp.float32)
+    img_memory = jnp.concatenate(
+        [jnp.zeros((B, S_img, D), jnp.float32), tm], axis=1)
+    batch = {
+        "noun_token_spans": jnp.full((B, 2, 2), -1, jnp.int32),  # no boxes
+        "caption_noun_span": jnp.asarray([[2, 3]], jnp.int32),   # from caption
+        "box_valid": jnp.zeros((B, 2), bool),
+        "sample_valid": jnp.ones((B,), bool),
+        "task_id": jnp.asarray([1], jnp.int32),
+    }
+    cache = {"text_memory": tm, "img_memory": img_memory}
+    _bank, mod, aux = cl.student_cluster(bank, cache, batch, train=False)
+    assert bool(aux["valid"][0]), "zero-box sample must still be snapped"
+    text_mod = np.asarray(mod[:, S_img:])
+    text_orig = np.asarray(tm)
+    # Tokens 2..3 replaced by a cluster center; the rest untouched.
+    assert np.abs(text_mod[0, 2] - text_orig[0, 2]).max() > 1e-6
+    assert np.abs(text_mod[0, 3] - text_orig[0, 3]).max() > 1e-6
+    np.testing.assert_allclose(text_mod[0, [0, 1, 4, 5]],
+                               text_orig[0, [0, 1, 4, 5]])
+    np.testing.assert_allclose(text_mod[0, 2], text_mod[0, 3])
+
+
 # ---------------------------------------------------------------------------
 # Distillation losses
 # ---------------------------------------------------------------------------
@@ -169,6 +200,7 @@ def _paired_batch():
     sth_spans[:, :, 0] = 4
     sth_spans[:, :, 1] = 4
     sth["noun_token_spans"] = jnp.asarray(sth_spans)
+    sth["caption_noun_span"] = jnp.full((2, 2), 4, jnp.int32)
     noun["task_id"] = jnp.asarray([1, 2], jnp.int32)
     sth["task_id"] = jnp.asarray([1, 2], jnp.int32)
     return {"noun": noun, "sth": sth}

@@ -51,6 +51,7 @@ def synthetic_batch(B=2, H=64, W=64, N=4, T=12, L=256):
         "labels": jnp.zeros((B, N), jnp.int64),
         "box_valid": jnp.asarray(bv),
         "positive_map": jnp.asarray(pm),
+        "caption_noun_span": jnp.full((B, 2), 4, jnp.int32),
         "sample_valid": jnp.ones((B,), bool),
         "orig_size": jnp.asarray([[H, W]] * B, jnp.int32),
     }

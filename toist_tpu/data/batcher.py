@@ -16,6 +16,7 @@ A `Batch` is a flat dict of numpy arrays with fully static shapes:
   box_valid   [B, N]       bool
   positive_map[B, N, 256]  f32
   noun_token_spans [B, N, 2] i32 (inclusive, -1 = missing)
+  caption_noun_span[B, 2]    i32 caption-level "something" span (box-independent)
   gt_masks    [B, N, H/4, W/4] u8 (only when masks on)
   sample_valid[B]          bool  False for batch-padding rows
   image_id / task_id / orig_size / size — bookkeeping for eval
@@ -101,6 +102,7 @@ def collate(samples: Sequence[dict], spec: BucketSpec, bucket_idx: int,
         "box_valid": np.zeros((B, N), bool),
         "positive_map": np.zeros((B, N, L), np.float32),
         "noun_token_spans": np.full((B, N, 2), -1, np.int32),
+        "caption_noun_span": np.full((B, 2), -1, np.int32),
         "sample_valid": np.zeros((B,), bool),
         "image_id": np.zeros((B,), np.int64),
         "task_id": np.zeros((B,), np.int32),
@@ -130,6 +132,8 @@ def collate(samples: Sequence[dict], spec: BucketSpec, bucket_idx: int,
             pm = s["positive_map"][:n, :L]
             batch["positive_map"][b, :n, :pm.shape[1]] = pm
             batch["noun_token_spans"][b, :n] = s["noun_token_spans"][:n]
+        batch["caption_noun_span"][b] = s.get(
+            "caption_noun_span", np.full(2, -1, np.int32))
         batch["sample_valid"][b] = True
         batch["image_id"][b] = s["image_id"]
         batch["task_id"][b] = s["task_id"]

@@ -165,6 +165,17 @@ def finalize_text(target: dict, tokenizer: RobertaBPE, num_cols: int = 256,
         if ts is not None:
             spans[i] = ts
     target["noun_token_spans"] = spans
+    # Caption-level "something" span, independent of GT boxes: the reference's
+    # cluster snapping derives it from the caption itself (mdetr.py:282-312,
+    # captions[i].find('something')), so images with zero preferred annotations
+    # are still snapped at eval time.
+    cap_span = np.full(2, -1, np.int32)
+    b = target["caption"].find("something")
+    if b >= 0:
+        ts = token_span(tok, b, b + len("something"))
+        if ts is not None:
+            cap_span[:] = ts
+    target["caption_noun_span"] = cap_span
     return target
 
 

@@ -241,6 +241,7 @@ def _dummy_batch(spec: BucketSpec, batch_size: int) -> Dict[str, np.ndarray]:
         "box_valid": np.zeros((B, N), bool),
         "positive_map": np.zeros((B, N, L), np.float32),
         "noun_token_spans": np.full((B, N, 2), -1, np.int32),
+        "caption_noun_span": np.full((B, 2), -1, np.int32),
         "sample_valid": np.zeros((B,), bool),
         "image_id": np.zeros((B,), np.int64),
         "task_id": np.zeros((B,), np.int32),

@@ -51,8 +51,10 @@ def kmeans(x: jnp.ndarray, init_centers: jnp.ndarray,
         it, centers, _ = state
         labels = assign(centers)
         new_centers = update(centers, labels)
-        shift = jnp.sum(
-            jnp.linalg.norm(new_centers - centers, axis=-1) ** 2)
+        # Reference convergence: (sum_k ||delta c_k||)^2 < tol (kmeans.py:77-94
+        # computes center_shift = sum of per-center L2 norms, breaks on
+        # center_shift ** 2 < tol).
+        shift = jnp.sum(jnp.linalg.norm(new_centers - centers, axis=-1)) ** 2
         return it + 1, new_centers, shift
 
     _, centers, _ = jax.lax.while_loop(

@@ -185,15 +185,17 @@ def student_cluster(bank: ClusterBank, cache: Dict, batch: Dict,
                     max_iters: int = 32, tol: float = 1e-4, train: bool = True
                     ) -> Tuple[ClusterBank, jnp.ndarray, Dict]:
     """Student path (forward :236-280 / infer_choice :282-312): pool the
-    "something" span, k-means-snap it; in training also the MSE feature loss."""
+    "something" span, k-means-snap it; in training also the MSE feature loss.
+
+    The span comes from the CAPTION (batch["caption_noun_span"], computed by
+    finalize_text from caption.find('something')), not from per-box spans — the
+    reference snaps every sample regardless of GT boxes (:288-296), so images
+    with zero preferred annotations are snapped too."""
     tm = cache["text_memory"].astype(jnp.float32)
-    spans = batch["noun_token_spans"]
     bv = batch["box_valid"] & batch["sample_valid"][:, None]
-    # The "something" span is identical across boxes; pool it whether or not
-    # boxes exist (reference student loop runs for every sample, :249).
     T = tm.shape[1]
-    any_span = spans[:, 0:1, :]
-    m = span_box_masks(any_span, T)[:, 0, :]                 # [B, T]
+    cap_span = batch["caption_noun_span"]                    # [B, 2]
+    m = span_box_masks(cap_span[:, None, :], T)[:, 0, :]     # [B, T]
     cnt = jnp.sum(m, axis=-1)
     pooled = jnp.einsum("bt,btd->bd", m.astype(tm.dtype), tm) / \
         jnp.maximum(cnt, 1)[..., None]

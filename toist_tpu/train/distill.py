@@ -136,6 +136,11 @@ def make_distillation_train_step(model, cfg: Config,
             cluster_bank=bank, step=state.step + 1)
         scalars["grad_norm"] = optax.global_norm(grads)
         scalars["loss_is_finite"] = jnp.isfinite(loss)
+        # Per-task bank health telemetry (reference engine.py:190-193 pushes
+        # fill counts to TB every epoch; here they ride the scalar dict and
+        # land in log.jsonl as lists).
+        scalars["bank_update_count"] = bank.update_count
+        scalars["bank_full"] = bank.full.astype(jnp.int32)
         return new_state, scalars
 
     return train_step

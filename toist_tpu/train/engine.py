@@ -42,8 +42,12 @@ def train_one_epoch(train_step: Callable, state, batch_iter: BatchIterator,
                                       "loss_contrastive_align",
                                       "loss_mask", "loss_dice")})
             if jsonl is not None:
+                # Small vector scalars (e.g. per-task bank telemetry) are
+                # logged as lists alongside the true scalars.
+                vecs = {k: np.asarray(v).tolist() for k, v in scalars.items()
+                        if np.ndim(v) == 1 and np.size(v) <= 16}
                 jsonl.write({"kind": "train_step", "epoch": epoch,
-                             "step": int(state.step), **host})
+                             "step": int(state.step), **host, **vecs})
         i += 1
     return state, logger.summary()
 

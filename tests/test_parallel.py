@@ -67,6 +67,78 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_zero1_opt_state_sharding():
+    """ZeRO-1 (run.shard_opt_state): AdamW moments sharded over 'data' hold
+    1/8 of each big leaf per device, survive a train step with the layout
+    pinned, and the numerics match the replicated run."""
+    model = build_model(CFG.model, text_vocab_size=600)
+    batch = synthetic_batch(B=8, H=64, W=64, N=4, T=12)
+    optimizer = make_optimizer(CFG.optim, 10, 1000)
+    state, frozen = init_train_state(model, CFG, optimizer, batch, seed=0)
+    wd = build_weight_dict(CFG.loss, masks=False, num_dec_layers=1)
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+
+    # Replicated baseline.
+    step_rep = make_train_step(model, CFG, wd, optimizer, frozen)
+    s_rep, sc_rep = step_rep(mesh_lib.replicate_tree(state, mesh),
+                             mesh_lib.shard_batch(batch, mesh),
+                             jax.random.PRNGKey(0))
+
+    # ZeRO-1 placement + constrained step.
+    state_z = mesh_lib.replicate_tree(state, mesh)
+    state_z = state_z.replace(
+        opt_state=mesh_lib.shard_opt_state(state_z.opt_state, mesh))
+    step_z = make_train_step(model, CFG, wd, optimizer, frozen, mesh=mesh)
+    s_z, sc_z = step_z(state_z, mesh_lib.shard_batch(batch, mesh),
+                       jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(sc_rep["loss"]), float(sc_z["loss"]),
+                               rtol=2e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_rep.params, s_z.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+    # At least one big moment leaf is actually sharded 8-ways, before AND
+    # after the step (the constraint keeps the layout stable).
+    def sharded_fraction(opt_state):
+        n_sharded = n_big = 0
+        for leaf in jax.tree_util.tree_leaves(opt_state):
+            if leaf.size >= 2 ** 12:
+                n_big += 1
+                shard = leaf.addressable_shards[0].data
+                if shard.size == leaf.size // 8:
+                    n_sharded += 1
+        return n_sharded, n_big
+
+    pre_sharded, pre_big = sharded_fraction(state_z.opt_state)
+    post_sharded, post_big = sharded_fraction(s_z.opt_state)
+    assert pre_big > 0 and pre_sharded == pre_big, (pre_sharded, pre_big)
+    assert post_sharded == post_big, (post_sharded, post_big)
+
+
+@pytest.mark.slow
+def test_freeze_text_encoder():
+    """model.freeze_text_encoder: text-encoder params take no updates while
+    the rest trains (reference main.py:146-153, transformer.py:66-69)."""
+    model = build_model(CFG.model, text_vocab_size=600)
+    batch = synthetic_batch(B=2, H=64, W=64, N=4, T=12)
+    optimizer = make_optimizer(CFG.optim, 10, 1000, freeze_text_encoder=True)
+    state, frozen = init_train_state(model, CFG, optimizer, batch, seed=0)
+    wd = build_weight_dict(CFG.loss, masks=False, num_dec_layers=1)
+    step = make_train_step(model, CFG, wd, optimizer, frozen)
+    s1, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    def max_delta(sub_old, sub_new):
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), sub_old, sub_new)
+        return max(jax.tree_util.tree_leaves(d))
+
+    assert max_delta(state.params["text_encoder"],
+                     s1.params["text_encoder"]) == 0.0
+    assert max_delta(state.params["decoder"], s1.params["decoder"]) > 0.0
+
+
+@pytest.mark.slow
 def test_distillation_bank_identical_under_sharding():
     """The cluster bank must evolve identically whether the batch is sharded
     over 8 devices or runs on one (SURVEY.md §7 hard part 5: deterministic

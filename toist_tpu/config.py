@@ -28,11 +28,15 @@ class ModelConfig:
     enc_layers: int = 6                  # --enc_layers (main.py:119-121)
     dec_layers: int = 6                  # --dec_layers (main.py:122-124)
     num_queries: int = 100               # --num_queries (main.py:144)
-    pre_norm: bool = False               # --pre_norm (main.py:145)
-    pass_pos_and_query: bool = True      # --no_pass_pos_and_query inverse (main.py:93-98)
+    # Dropped reference flags (documented, not silently ignored):
+    #   --pre_norm: the reference decoder's pre-norm path is `assert False`
+    #     (transformer.py:418) so the flag is unusable end to end.
+    #   --no_pass_pos_and_query: setting it crashes the reference joint encoder
+    #     (pos_embed becomes None before torch.cat, transformer.py:124,148).
     text_encoder_type: str = "roberta-base"  # --text_encoder_type (main.py:154-158)
     freeze_text_encoder: bool = False    # --freeze_text_encoder (main.py:146-153)
-    without_pretrain: bool = False       # --without_pretrain (main.py:256): random init
+    without_pretrain: bool = False       # --without_pretrain (main.py:256):
+                                         # ignore run.pretrained_* weight files
     num_classes: int = 255               # hardcoded (models/mdetr.py:1040); logits = 256 cols
     backbone_norm: str = "frozen_bn"     # frozen_bn (parity) | group_norm (from scratch)
     # Text encoder dims (roberta-base defaults; tests shrink these).
@@ -68,7 +72,6 @@ class DataConfig:
     coco_path: str = ""                  # root holding images + task_N_{train,test}.json
     refexp_ann_path: str = ""            # annotations dir (configs/tdod.json)
     tasks: Tuple[int, ...] = tuple(range(1, 15))  # COCO-Tasks task ids 1..14
-    test: bool = False                   # --test (main.py:259)
     # Static shapes. Empty = use batcher.default_buckets (two-orientation
     # 800x1344 / 1344x800 canvases covering the 800/1333 resize envelope);
     # custom lists must cover BOTH orientations or portrait samples drop.
@@ -146,6 +149,12 @@ class RunConfig:
     resume: str = ""
     load: str = ""
     load_noun: str = ""
+    # Pretrained-weight ingestion (the reference builds from torchvision
+    # ImageNet ResNet-101 + HF roberta-base by default, backbone.py:83-91 /
+    # transformer.py:59-64). Paths to .pth/.npz state dicts converted by
+    # utils/pretrained.py; ignored when model.without_pretrain is set.
+    pretrained_backbone: str = ""        # torchvision resnet101 state_dict
+    pretrained_text: str = ""            # HF roberta-base state_dict
     start_epoch: int = 0
     eval_only: bool = False
     profile_dir: str = ""                # jax.profiler trace of the first epoch

@@ -119,7 +119,8 @@ def main(cfg: Config) -> Optional[float]:
     total_steps = steps_per_epoch * cfg.optim.epochs
 
     optimizer = make_optimizer(cfg.optim, steps_per_epoch, total_steps,
-                               frozen_detector=cfg.model.frozen_detector)
+                               frozen_detector=cfg.model.frozen_detector,
+                               freeze_text_encoder=cfg.model.freeze_text_encoder)
     weight_dict = build_weight_dict(cfg.loss, cfg.model.masks,
                                     cfg.model.dec_layers)
 
@@ -127,12 +128,23 @@ def main(cfg: Config) -> Optional[float]:
     sample = _dummy_batch(spec, cfg.optim.train_batch_size)
     state, frozen = init_train_state(model, cfg, optimizer, sample,
                                      seed=cfg.run.seed)
+    if cfg.run.pretrained_backbone or cfg.run.pretrained_text:
+        from toist_tpu.utils.pretrained import apply_pretrained
+        new_params, frozen = apply_pretrained(cfg, state.params, frozen)
+        state = state.replace(
+            params=new_params,
+            ema_params=jax.tree_util.tree_map(lambda x: x.copy(), new_params)
+            if state.ema_params is not None else None)
     teacher_frozen = frozen
     if cfg.loss.distillation:
         from toist_tpu.train import cluster as cluster_lib
         from toist_tpu.train.step import init_variables, split_variables
         tvars = init_variables(model, sample, seed=cfg.run.seed + 1)
         tparams, teacher_frozen = split_variables(tvars)
+        if cfg.run.pretrained_backbone or cfg.run.pretrained_text:
+            from toist_tpu.utils.pretrained import apply_pretrained
+            tparams, teacher_frozen = apply_pretrained(cfg, tparams,
+                                                       teacher_frozen)
         if cfg.run.load_noun:
             tparams, teacher_frozen = ckpt.load_params(cfg.run.load_noun,
                                                        prefer_ema=True)
@@ -168,15 +180,21 @@ def main(cfg: Config) -> Optional[float]:
     state = mesh_lib.replicate_tree(state, mesh)
     frozen = mesh_lib.replicate_tree(frozen, mesh)
     teacher_frozen = mesh_lib.replicate_tree(teacher_frozen, mesh)
+    if cfg.run.shard_opt_state:
+        # ZeRO-1: AdamW moments sharded over 'data' instead of replicated.
+        state = state.replace(
+            opt_state=mesh_lib.shard_opt_state(state.opt_state, mesh))
 
     if cfg.loss.distillation:
         from toist_tpu.train.distill import (make_cluster_eval_step,
                                              make_distillation_train_step)
         train_step = make_distillation_train_step(
-            model, cfg, weight_dict, optimizer, frozen, teacher_frozen)
+            model, cfg, weight_dict, optimizer, frozen, teacher_frozen,
+            mesh=mesh)
     else:
         train_step = make_train_step(model, cfg, weight_dict, optimizer,
-                                     frozen, with_masks=cfg.model.masks)
+                                     frozen, with_masks=cfg.model.masks,
+                                     mesh=mesh)
     if cfg.loss.cluster:
         from toist_tpu.train.distill import make_cluster_eval_step
         cluster_eval = make_cluster_eval_step(model, cfg, weight_dict, frozen)

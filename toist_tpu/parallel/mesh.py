@@ -48,6 +48,58 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
+def _zero1_spec(x: Any, n: int, min_size: int) -> P:
+    """ZeRO-1 leaf spec: shard the largest n-divisible axis over 'data'.
+
+    Small leaves (and schedule counters etc.) stay replicated — sharding them
+    would cost a collective per step for no memory win."""
+    shape = getattr(x, "shape", ())
+    if not shape or int(np.prod(shape)) < min_size:
+        return P()
+    best_axis, best_dim = -1, 0
+    for i, d in enumerate(shape):
+        if d % n == 0 and d > best_dim:
+            best_axis, best_dim = i, d
+    if best_axis < 0:
+        return P()
+    spec = [None] * len(shape)
+    spec[best_axis] = "data"
+    return P(*spec)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh, min_size: int = 2 ** 12) -> Any:
+    """Place optimizer-state leaves ZeRO-1 style: first/second AdamW moments
+    sharded over the 'data' axis (reference has no analogue — torch keeps a
+    full optimizer replica per rank, main.py:387-392; sharding is nearly free
+    under pjit and cuts opt-state HBM by ~1/n_devices)."""
+    n = mesh.shape["data"]
+    if n <= 1:
+        return replicate_tree(opt_state, mesh)
+
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, _zero1_spec(x, n,
+                                                                 min_size)))
+    return jax.tree_util.tree_map(place, opt_state)
+
+
+def constrain_opt_state(opt_state: Any, mesh: Optional[Mesh],
+                        min_size: int = 2 ** 12) -> Any:
+    """with_sharding_constraint version of shard_opt_state, for use INSIDE the
+    jitted train step: pins the updated moments to the ZeRO-1 layout so the
+    sharding is stable across steps (no silent re-replication by the
+    propagation pass)."""
+    if mesh is None:
+        return opt_state
+    n = mesh.shape["data"]
+    if n <= 1:
+        return opt_state
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, _zero1_spec(x, n, min_size)))
+    return jax.tree_util.tree_map(constrain, opt_state)
+
+
 def prefetch_to_device(iterator, mesh: Optional[Mesh], size: int = 2):
     """Wrap a host batch iterator with async device placement.
 

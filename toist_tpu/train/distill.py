@@ -46,8 +46,8 @@ def _apply_decode(model, params, frozen, cache, rngs, deterministic,
 def make_distillation_train_step(model, cfg: Config,
                                  weight_dict: Dict[str, float],
                                  optimizer: optax.GradientTransformation,
-                                 frozen_student: Dict, frozen_teacher: Dict
-                                 ) -> Callable:
+                                 frozen_student: Dict, frozen_teacher: Dict,
+                                 mesh=None) -> Callable:
     lcfg = cfg.loss
     use_cluster = lcfg.cluster
 
@@ -123,6 +123,9 @@ def make_distillation_train_step(model, cfg: Config,
             loss_fn, has_aux=True)(params, state.cluster_bank, batches,
                                    step_rng)
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        if cfg.run.shard_opt_state and mesh is not None:
+            from toist_tpu.parallel.mesh import constrain_opt_state
+            opt_state = constrain_opt_state(opt_state, mesh)
         new_params = optax.apply_updates(params, updates)
         ema = state.ema_params
         if ema is not None:

@@ -26,12 +26,15 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def label_params(params: Any, frozen_detector: bool = False) -> Any:
+def label_params(params: Any, frozen_detector: bool = False,
+                 freeze_text_encoder: bool = False) -> Any:
     """Label pytree: frozen (stem+layer1, reference backbone.py:68-73),
     backbone, text_encoder, model.
 
     frozen_detector=True (seg training, reference --frozen_weights +
-    segmentation.py:22-24): everything except the mask branch is frozen."""
+    segmentation.py:22-24): everything except the mask branch is frozen.
+    freeze_text_encoder=True (reference --freeze_text_encoder, main.py:146-153
+    + transformer.py:66-69): the text encoder takes no updates."""
     def label(path, _leaf):
         p = _path_str(path)
         if frozen_detector:
@@ -44,7 +47,7 @@ def label_params(params: Any, frozen_detector: bool = False) -> Any:
                 return "frozen"
             return "backbone"
         if "text_encoder" in p:
-            return "text_encoder"
+            return "frozen" if freeze_text_encoder else "text_encoder"
         return "model"
     return jax.tree_util.tree_map_with_path(label, params)
 
@@ -89,7 +92,9 @@ def make_schedules(cfg: OptimConfig, steps_per_epoch: int,
 
 
 def make_optimizer(cfg: OptimConfig, steps_per_epoch: int, total_steps: int,
-                   frozen_detector: bool = False) -> optax.GradientTransformation:
+                   frozen_detector: bool = False,
+                   freeze_text_encoder: bool = False
+                   ) -> optax.GradientTransformation:
     """Build the grouped optimizer; parameter labels are resolved lazily at
     init time (label_params passed as a callable), so no params are needed."""
     schedules = make_schedules(cfg, steps_per_epoch, total_steps)
@@ -102,7 +107,8 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int, total_steps: int,
         return tx
 
     import functools
-    labeler = functools.partial(label_params, frozen_detector=frozen_detector)
+    labeler = functools.partial(label_params, frozen_detector=frozen_detector,
+                                freeze_text_encoder=freeze_text_encoder)
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_max_norm),
         optax.multi_transform(

@@ -45,7 +45,7 @@ def model_forward(model, params, frozen, batch, rngs=None, deterministic=True):
 
 def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
                     optimizer: optax.GradientTransformation, frozen: Dict,
-                    with_masks: bool = False) -> Callable:
+                    with_masks: bool = False, mesh=None) -> Callable:
     """Plain (non-distillation) train step.
 
     When cfg.loss.cluster is on (e.g. seg training over a frozen distilled
@@ -100,6 +100,9 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
                                    step_rng)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        if cfg.run.shard_opt_state and mesh is not None:
+            from toist_tpu.parallel.mesh import constrain_opt_state
+            opt_state = constrain_opt_state(opt_state, mesh)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
         if ema is not None:

@@ -100,8 +100,22 @@ class RobertaBPE:
             starts.ctypes.data_as(i32p), ends.ctypes.data_as(i32p), max_tokens)
         if n < 0:
             raise RuntimeError("bpe_encode failed")
-        return Tokenized(ids[:n].tolist(), starts[:n].tolist(),
-                         ends[:n].tolist(), text)
+        starts, ends = starts[:n].tolist(), ends[:n].tolist()
+        if len(text.encode()) != len(text):
+            # Non-ASCII text: the C++ core reports BYTE offsets; callers index
+            # Python strings, so map them to char offsets (HF fast tokenizers
+            # report char offsets too — the parity oracle in
+            # tests/test_tokenizer_parity.py).
+            char_of_byte = []  # containing char index for every byte
+            for ci, ch in enumerate(text):
+                char_of_byte.extend([ci] * len(ch.encode()))
+            nb = len(char_of_byte)
+            # Starts floor to the containing char; ends round up past it (a
+            # token ending mid-char still covers that char, like HF).
+            starts = [char_of_byte[min(s, nb - 1)] for s in starts]
+            ends = [char_of_byte[min(e, nb) - 1] + 1 if e > 0 else 0
+                    for e in ends]
+        return Tokenized(ids[:n].tolist(), starts, ends, text)
 
     # -- construction ------------------------------------------------------
 
@@ -180,22 +194,42 @@ class RobertaBPE:
                 f.write(f"{a} {b}\n")
 
 
+def _is_letter(c: str) -> bool:
+    import unicodedata
+    return unicodedata.category(c).startswith("L")
+
+
+def _is_number(c: str) -> bool:
+    import unicodedata
+    return unicodedata.category(c).startswith("N")
+
+
 def _simple_pretokenize(text: str) -> List[str]:
-    """Python mirror of the C++ pre-tokenizer (for BPE training only)."""
+    """Python mirror of the C++ pre-tokenizer (for BPE training only):
+    the GPT-2 regex with exact \\p{L}/\\p{N} classes, including the
+    contraction literals."""
     out = []
     i, n = 0, len(text)
     while i < n:
+        if text[i] == "'":
+            matched = next((s for s in ("'re", "'ve", "'ll", "'s", "'t",
+                                        "'m", "'d")
+                            if text.startswith(s, i)), None)
+            if matched:
+                out.append(matched)
+                i += len(matched)
+                continue
         j = i
         if text[j] == " " and j + 1 < n and not text[j + 1].isspace():
             j += 1
-        if j < n and (text[j].isalpha()):
+        if j < n and _is_letter(text[j]):
             k = j
-            while k < n and text[k].isalpha():
+            while k < n and _is_letter(text[k]):
                 k += 1
             out.append(text[i:k]); i = k
-        elif j < n and text[j].isdigit():
+        elif j < n and _is_number(text[j]):
             k = j
-            while k < n and text[k].isdigit():
+            while k < n and _is_number(text[k]):
                 k += 1
             out.append(text[i:k]); i = k
         elif text[i].isspace():
@@ -208,7 +242,8 @@ def _simple_pretokenize(text: str) -> List[str]:
             out.append(text[i:k]); i = k
         else:
             k = j
-            while k < n and not (text[k].isspace() or text[k].isalnum()):
+            while k < n and not (text[k].isspace() or _is_letter(text[k])
+                                 or _is_number(text[k])):
                 k += 1
             out.append(text[i:k]); i = k
     return out

@@ -31,8 +31,11 @@ def load() -> ctypes.CDLL:
             "TOIST_NATIVE_DIR", os.path.expanduser("~/.cache/toist_tpu_native"))
         os.makedirs(cache, exist_ok=True)
         so_path = os.path.join(cache, "libtoist_native.so")
+        src_mtime = max([os.path.getmtime(_SRC)] +
+                        [os.path.getmtime(os.path.join(_HERE, f))
+                         for f in os.listdir(_HERE) if f.endswith(".inc")])
         if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(so_path) < src_mtime):
             _build(so_path)
         lib = ctypes.CDLL(so_path)
 

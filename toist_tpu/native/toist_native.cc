@@ -354,24 +354,77 @@ std::string byte_to_unicode(uint8_t b) {
   return s;
 }
 
-bool is_letter(char c) {
-  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-         (unsigned char)c >= 0x80;
+// Unicode \p{L} / \p{N} classification over UTF-8 codepoints (full category
+// tables generated from unicodedata; see unicode_tables.inc). This matches the
+// GPT-2/RoBERTa pre-tokenizer regex classes for arbitrary text, not just the
+// ASCII captions (parity-tested vs HF tokenizers in tests/test_tokenizer_parity.py).
+#include "unicode_tables.inc"
+
+bool cp_in_ranges(uint32_t cp, const uint32_t (*ranges)[2], int n) {
+  int lo = 0, hi = n - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (cp < ranges[mid][0]) hi = mid - 1;
+    else if (cp > ranges[mid][1]) lo = mid + 1;
+    else return true;
+  }
+  return false;
 }
-bool is_digit(char c) { return c >= '0' && c <= '9'; }
+
+bool cp_is_letter(uint32_t cp) {
+  return cp_in_ranges(cp, kLetterRanges,
+                      (int)(sizeof(kLetterRanges) / sizeof(kLetterRanges[0])));
+}
+bool cp_is_digit(uint32_t cp) {
+  return cp_in_ranges(cp, kNumberRanges,
+                      (int)(sizeof(kNumberRanges) / sizeof(kNumberRanges[0])));
+}
+bool cp_is_space(uint32_t cp) {
+  // Python regex \s (unicode): ASCII whitespace + Unicode space separators.
+  return cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0x0B ||
+         cp == 0x0C || cp == 0x1C || cp == 0x1D || cp == 0x1E || cp == 0x1F ||
+         cp == 0x85 || cp == 0xA0 || cp == 0x1680 ||
+         (cp >= 0x2000 && cp <= 0x200A) || cp == 0x2028 || cp == 0x2029 ||
+         cp == 0x202F || cp == 0x205F || cp == 0x3000;
+}
+
+// Decode the UTF-8 codepoint at byte offset i; *len gets the byte length.
+// Invalid sequences decode as single bytes (byte-level BPE tolerates them).
+uint32_t decode_utf8(const std::string& s, int i, int* len) {
+  uint8_t c = (uint8_t)s[i];
+  int n = (int)s.size();
+  if (c < 0x80) { *len = 1; return c; }
+  if ((c >> 5) == 0x6 && i + 1 < n) {
+    *len = 2;
+    return ((c & 0x1F) << 6) | ((uint8_t)s[i + 1] & 0x3F);
+  }
+  if ((c >> 4) == 0xE && i + 2 < n) {
+    *len = 3;
+    return ((c & 0x0F) << 12) | (((uint8_t)s[i + 1] & 0x3F) << 6) |
+           ((uint8_t)s[i + 2] & 0x3F);
+  }
+  if ((c >> 3) == 0x1E && i + 3 < n) {
+    *len = 4;
+    return ((c & 0x07) << 18) | (((uint8_t)s[i + 1] & 0x3F) << 12) |
+           (((uint8_t)s[i + 2] & 0x3F) << 6) | ((uint8_t)s[i + 3] & 0x3F);
+  }
+  *len = 1;
+  return c;
+}
+
 bool is_space(char c) { return c == ' ' || c == '\t' || c == '\n' || c == '\r'; }
 
-// Pre-tokenize ASCII-scope text following the GPT-2 pattern:
+// Pre-tokenize UTF-8 text following the GPT-2 pattern:
 // 's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
-// Emits [start, end) spans (leading space included in the span).
+// Emits [start, end) BYTE spans (leading space included in the span).
 void pretokenize(const std::string& text,
                  std::vector<std::pair<int, int>>* spans) {
   int n = (int)text.size(), i = 0;
+  int cl = 0;  // codepoint byte length scratch
   while (i < n) {
     int start = i;
-    char c = text[i];
-    // contractions
-    if (c == '\'' && i + 1 < n) {
+    // contractions (lowercase-only, like the GPT-2 regex literals)
+    if (text[i] == '\'' && i + 1 < n) {
       auto try_suffix = [&](const char* sfx) {
         int len = (int)strlen(sfx);
         if (i + len <= n && strncmp(text.c_str() + i, sfx, len) == 0) {
@@ -387,40 +440,61 @@ void pretokenize(const std::string& text,
         continue;
     }
     int j = i;
+    uint32_t c = decode_utf8(text, j, &cl);
     bool lead_space = false;
-    if (c == ' ' && j + 1 < n && !is_space(text[j + 1])) {
-      lead_space = true;
-      ++j;
-      c = text[j];
-    }
-    if (is_letter(c)) {
-      int kk = j;
-      while (kk < n && is_letter(text[kk])) ++kk;
-      spans->emplace_back(start, kk);
-      i = kk;
-    } else if (is_digit(c)) {
-      int kk = j;
-      while (kk < n && is_digit(text[kk])) ++kk;
-      spans->emplace_back(start, kk);
-      i = kk;
-    } else if (is_space(c) && !lead_space) {
-      int kk = i;
-      while (kk < n && is_space(text[kk])) ++kk;
-      // trailing whitespace run before non-space keeps last space attached to
-      // next token (\s+(?!\S) semantics).
-      if (kk < n && kk - i > 1) --kk;
-      if (kk > i) {
-        spans->emplace_back(i, kk);
-        i = kk;
-      } else {
-        spans->emplace_back(i, i + 1);
-        ++i;
+    if (c == ' ' && j + 1 < n) {
+      int nl;
+      uint32_t nc = decode_utf8(text, j + 1, &nl);
+      if (!cp_is_space(nc)) {
+        lead_space = true;
+        j += 1;
+        c = decode_utf8(text, j, &cl);
       }
+    }
+    if (cp_is_letter(c)) {
+      int kk = j;
+      while (kk < n) {
+        uint32_t cc = decode_utf8(text, kk, &cl);
+        if (!cp_is_letter(cc)) break;
+        kk += cl;
+      }
+      spans->emplace_back(start, kk);
+      i = kk;
+    } else if (cp_is_digit(c)) {
+      int kk = j;
+      while (kk < n) {
+        uint32_t cc = decode_utf8(text, kk, &cl);
+        if (!cp_is_digit(cc)) break;
+        kk += cl;
+      }
+      spans->emplace_back(start, kk);
+      i = kk;
+    } else if (cp_is_space(c) && !lead_space) {
+      // Whitespace run; \s+(?!\S) keeps the last space attached to a following
+      // non-space token.
+      int kk = i;
+      int last_start = i, last_len = 0;
+      while (kk < n) {
+        uint32_t cc = decode_utf8(text, kk, &cl);
+        if (!cp_is_space(cc)) break;
+        last_start = kk;
+        last_len = cl;
+        kk += cl;
+      }
+      if (kk < n && last_start > i)
+        kk = last_start;  // \s+(?!\S): leave the final whitespace char for the
+                          // next token's ` ?` prefix (or its own \s+ match)
+      (void)last_len;
+      if (kk == i) kk = i + cl;
+      spans->emplace_back(i, kk);
+      i = kk;
     } else {
       int kk = j;
-      while (kk < n && !is_space(text[kk]) && !is_letter(text[kk]) &&
-             !is_digit(text[kk]))
-        ++kk;
+      while (kk < n) {
+        uint32_t cc = decode_utf8(text, kk, &cl);
+        if (cp_is_space(cc) || cp_is_letter(cc) || cp_is_digit(cc)) break;
+        kk += cl;
+      }
       spans->emplace_back(start, kk);
       i = kk;
     }
@@ -513,11 +587,15 @@ int bpe_encode(int handle, const char* text_c, int* ids, int* starts,
       if (nt >= max_tokens) return nt;
       auto it = bpe.vocab.find(syms[i]);
       ids[nt] = (it != bpe.vocab.end()) ? it->second : bpe.unk_id;
-      // Trim leading whitespace from offsets (RoBERTa trim_offsets=True).
-      int s = sym_start[i];
-      while (s < sym_end[i] && is_space(text[s])) ++s;
+      // Offset trimming (RoBERTa trim_offsets=True): HF's ByteLevel
+      // post-processor strips the space byte 0x20 ('Ġ') from BOTH ends of
+      // each token's offsets — other whitespace (tab etc.) is kept, and a
+      // pure-space token collapses to an empty (end, end) span.
+      int s = sym_start[i], e = sym_end[i];
+      while (s < e && text[s] == ' ') ++s;
+      while (e > s && text[e - 1] == ' ') --e;
       starts[nt] = s;
-      ends[nt] = sym_end[i];
+      ends[nt] = e;
       ++nt;
     }
   }

@@ -138,3 +138,50 @@ def test_postprocess():
     np.testing.assert_allclose(r["scores"][0, 1], 1 - 1 / 256, atol=1e-3)
     np.testing.assert_allclose(r["boxes"][0, 1], [40, 20, 60, 30], atol=1e-4)
     assert (r["labels"] == 1).all()
+
+
+def test_cls_contrastive_loss_path():
+    """--contrastive_loss variant: CLS prepended to the image sequence, pooled
+    text/image ops in the cache (reference transformer.py:55,107-119,159-160)."""
+    cfg = dataclasses.replace(TINY, contrastive_loss=True)
+    model = build_model(cfg, text_vocab_size=600, tiny_text=True,
+                        backbone_norm="group_norm")
+    B, H, W, T = 2, 64, 96, 12
+    images = jnp.zeros((B, H, W, 3))
+    image_mask = jnp.zeros((B, H, W), bool)
+    text_ids = jnp.full((B, T), 1, jnp.int32).at[:, :5].set(jnp.arange(5) + 4)
+    text_mask = jnp.ones((B, T), bool).at[:, :5].set(False)
+    params = jax.jit(lambda r: model.init(r, images, image_mask, text_ids,
+                                          text_mask))(jax.random.PRNGKey(0))
+    assert "CLS" in params["params"]
+    assert "pooler" in params["params"]["text_encoder"]
+    cache = jax.jit(lambda p, *a: model.apply(p, *a, method=model.encode))(
+        params, images, image_mask, text_ids, text_mask)
+    fh, fw = cache["feature_hw"]
+    assert cache["img_memory"].shape == (B, 1 + fh * fw + T, 64)
+    np.testing.assert_allclose(np.asarray(cache["img_pooled_op"]),
+                               np.asarray(cache["img_memory"][:, 0]))
+    assert cache["text_pooled_op"].shape == (B, 64)
+    out = jax.jit(lambda p, c: model.apply(p, c, method=model.decode))(
+        params, cache)
+    assert out["pred_logits"].shape == (B, cfg.num_queries, cfg.num_classes + 1)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+def test_learned_position_embedding_path():
+    """--position_embedding learned variant builds and runs end to end."""
+    cfg = dataclasses.replace(TINY, position_embedding="learned")
+    model = build_model(cfg, text_vocab_size=600, tiny_text=True,
+                        backbone_norm="group_norm")
+    B, H, W, T = 1, 64, 64, 10
+    images = jnp.zeros((B, H, W, 3))
+    image_mask = jnp.zeros((B, H, W), bool)
+    text_ids = jnp.full((B, T), 1, jnp.int32).at[:, :4].set(jnp.arange(4) + 4)
+    text_mask = jnp.ones((B, T), bool).at[:, :4].set(False)
+    params = jax.jit(lambda r: model.init(r, images, image_mask, text_ids,
+                                          text_mask))(jax.random.PRNGKey(0))
+    assert "learned_pos" in params["params"]
+    assert params["params"]["learned_pos"]["row_embed"].shape == (50, 32)
+    (out, _cache) = jax.jit(lambda p, *a: model.apply(p, *a))(
+        params, images, image_mask, text_ids, text_mask)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()

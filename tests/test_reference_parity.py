@@ -482,6 +482,52 @@ def test_position_encoding_parity(ref):
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5)
 
 
+def test_learned_position_embedding_parity(ref):
+    torch.manual_seed(4)
+    pe = ref.posenc.PositionEmbeddingLearned(num_pos_feats=8)
+    B, H, W = 2, 5, 7
+    nt = ref.misc.NestedTensor(torch.zeros(B, 3, H, W),
+                               torch.zeros(B, H, W, dtype=torch.bool))
+    with torch.no_grad():
+        want = pe(nt).numpy()  # [B, 16, H, W]
+    from toist_tpu.models.position_encoding import LearnedPositionEmbedding2D
+    params = {"row_embed": pe.row_embed.weight.detach().numpy(),
+              "col_embed": pe.col_embed.weight.detach().numpy()}
+    got = LearnedPositionEmbedding2D(num_pos_feats=8).apply(
+        {"params": params}, B, H, W)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-6)
+
+
+def test_roberta_pooler_parity(ref):
+    """pooler_output feeds text_pooled_op on the CLS contrastive path."""
+    from transformers import RobertaConfig, RobertaModel
+
+    cfg = RobertaConfig(vocab_size=110, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=36, type_vocab_size=1,
+                        layer_norm_eps=1e-5, pad_token_id=1,
+                        attn_implementation="eager")
+    torch.manual_seed(5)
+    model = RobertaModel(cfg, add_pooling_layer=True).eval()
+    ids = torch.randint(3, 110, (2, 9))
+    with torch.no_grad():
+        out = model(input_ids=ids, attention_mask=(ids != 1).long())
+
+    sd = {f"transformer.text_encoder.{k}": v.numpy()
+          for k, v in model.state_dict().items()}
+    params = convert._roberta(sd, 32)
+    from toist_tpu.models.text_encoder import RobertaEncoder
+    m = RobertaEncoder(vocab_size=110, hidden_size=32, num_layers=1,
+                       num_heads=4, intermediate_size=64, max_position=36,
+                       add_pooler=True)
+    hidden, pooled = m.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(hidden),
+                               out.last_hidden_state.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               out.pooler_output.numpy(), atol=3e-5)
+
+
 # ---------------------------------------------------------------------------
 # PostProcess
 # ---------------------------------------------------------------------------

@@ -46,6 +46,12 @@ class ModelConfig:
     text_intermediate: int = 3072
     contrastive_align_loss: bool = True  # inverse of --no_contrastive_align_loss
     contrastive_hdim: int = 64           # --contrastive_loss_hdim (main.py:179-185)
+    contrastive_loss: bool = False       # --contrastive_loss (main.py:178): CLS token
+                                         # prepended to the image sequence; pooled
+                                         # text/image ops in memory_cache
+                                         # (transformer.py:55,107-119,159-160)
+    position_embedding: str = "sine"     # --position_embedding {sine, learned}
+                                         # (position_encoding.py:89-99)
     mask_model: str = "none"             # --mask_model {none,smallconv} (main.py:164-169)
     masks: bool = False                  # derived: mask_model != none => True (main.py:297-298)
     frozen_detector: bool = False        # seg training freezes wrapped detector

@@ -1,14 +1,17 @@
-"""2-D sine position embedding over the non-padded region.
+"""2-D position embeddings: sine (default) and learned.
 
-Math from /root/reference/models/position_encoding.py:13-49: cumulative sums of the
-valid-pixel mask per axis, normalized to [0, 2*pi] by the last valid coordinate,
-128 features per axis interleaved sin/cos. Returns NHWC [B, H, W, D].
+Sine math from /root/reference/models/position_encoding.py:13-49: cumulative sums
+of the valid-pixel mask per axis, normalized to [0, 2*pi] by the last valid
+coordinate, 128 features per axis interleaved sin/cos. Learned variant from
+:52-86: 50x50 row/col embedding tables, channels = [col(x); row(y)].
+Both return NHWC [B, H, W, D].
 """
 from __future__ import annotations
 
 import math
 from typing import Any
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 
@@ -35,3 +38,30 @@ def sine_position_embedding(pad_mask: jnp.ndarray, num_pos_feats: int = 128,
     pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
                       axis=-1).reshape(*pos_y.shape[:-1], -1)
     return jnp.concatenate([pos_y, pos_x], axis=-1).astype(dtype)
+
+
+class LearnedPositionEmbedding2D(nn.Module):
+    """PositionEmbeddingLearned (reference position_encoding.py:52-86): 50x50
+    uniform-initialized row/col tables; pos[h, w] = [col_embed[w]; row_embed[h]]
+    (x features first, unlike the sine variant's [y; x]). Feature grids at
+    stride 32 of <=1344px canvases stay within the 50-entry tables."""
+    num_pos_feats: int = 128
+    table_size: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch: int, h: int, w: int) -> jnp.ndarray:
+        init = nn.initializers.uniform(scale=1.0)  # torch nn.init.uniform_
+        row = self.param("row_embed", init, (self.table_size,
+                                             self.num_pos_feats))
+        col = self.param("col_embed", init, (self.table_size,
+                                             self.num_pos_feats))
+        x_emb = col[:w][None, :, :]                          # [1, w, F]
+        y_emb = row[:h][:, None, :]                          # [h, 1, F]
+        pos = jnp.concatenate([
+            jnp.broadcast_to(x_emb, (h, w, self.num_pos_feats)),
+            jnp.broadcast_to(y_emb, (h, w, self.num_pos_feats)),
+        ], axis=-1)
+        return jnp.broadcast_to(pos[None], (batch, h, w,
+                                            2 * self.num_pos_feats)
+                                ).astype(self.dtype)

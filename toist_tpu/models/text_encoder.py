@@ -66,7 +66,12 @@ class RobertaLayer(nn.Module):
 
 
 class RobertaEncoder(nn.Module):
-    """input_ids [B, T] (+ pad mask) -> last hidden state [B, T, hidden]."""
+    """input_ids [B, T] (+ pad mask) -> last hidden state [B, T, hidden].
+
+    With ``add_pooler`` (the CLS contrastive path, reference
+    transformer.py:159: ``encoded_text.pooler_output``) returns
+    (hidden, pooled) where pooled = tanh(Dense(hidden[:, 0])) like HF's
+    RobertaPooler."""
     vocab_size: int = 50265
     hidden_size: int = 768
     num_layers: int = 12
@@ -76,6 +81,7 @@ class RobertaEncoder(nn.Module):
     pad_id: int = 1
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    add_pooler: bool = False
 
     @nn.compact
     def __call__(self, input_ids, key_padding_mask: Optional[jnp.ndarray] = None,
@@ -91,4 +97,8 @@ class RobertaEncoder(nn.Module):
                              self.intermediate_size, self.dropout, self.dtype,
                              name=f"layer_{i}")(x, key_padding_mask,
                                                 deterministic)
+        if self.add_pooler:
+            pooled = jnp.tanh(nn.Dense(self.hidden_size, dtype=self.dtype,
+                                       name="pooler")(x[:, 0]))
+            return x, pooled
         return x

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from toist_tpu.config import ModelConfig
 from toist_tpu.models.joint_transformer import JointEncoder, QueryDecoder
 from toist_tpu.models.layers import MLP, FeatureResizer
-from toist_tpu.models.position_encoding import sine_position_embedding
+from toist_tpu.models.position_encoding import (LearnedPositionEmbedding2D,
+                                                sine_position_embedding)
 from toist_tpu.models.resnet import downsample_mask, make_resnet
 from toist_tpu.models.text_encoder import RobertaEncoder
 
@@ -52,7 +53,15 @@ class TOIST(nn.Module):
             vocab_size=self.text_vocab_size, hidden_size=self.text_hidden,
             num_layers=self.text_layers, num_heads=self.text_heads,
             intermediate_size=self.text_intermediate, dropout=cfg.dropout,
-            dtype=dt, name="text_encoder")
+            dtype=dt, add_pooler=cfg.contrastive_loss, name="text_encoder")
+        if cfg.contrastive_loss:
+            # CLS token prepended to the image sequence (transformer.py:55,
+            # 107-119); its encoder output is the pooled image representation.
+            self.CLS = self.param("CLS", nn.initializers.normal(1.0),
+                                  (1, cfg.hidden_dim))
+        if cfg.position_embedding == "learned":
+            self.learned_pos = LearnedPositionEmbedding2D(
+                cfg.hidden_dim // 2, dtype=dt, name="learned_pos")
         self.resizer = FeatureResizer(cfg.hidden_dim, dropout=0.1, dtype=dt,
                                       name="resizer")
         self.encoder = JointEncoder(cfg.hidden_dim, cfg.nheads, cfg.enc_layers,
@@ -97,15 +106,35 @@ class TOIST(nn.Module):
         src = feats["layer4"]
         B, fh, fw, _ = src.shape
         fmask = downsample_mask(image_mask, fh, fw)
-        pos = sine_position_embedding(fmask, self.cfg.hidden_dim // 2, dtype=dt)
+        if self.cfg.position_embedding == "learned":
+            pos = self.learned_pos(B, fh, fw)
+        else:
+            pos = sine_position_embedding(fmask, self.cfg.hidden_dim // 2,
+                                          dtype=dt)
         src = self.input_proj(src)
 
         img_tokens = src.reshape(B, fh * fw, self.cfg.hidden_dim)
         pos_tokens = pos.reshape(B, fh * fw, self.cfg.hidden_dim)
         img_token_mask = fmask.reshape(B, fh * fw)
 
-        text_last = self.text_encoder(text_ids, key_padding_mask=text_mask,
-                                      deterministic=deterministic)
+        text_pooled = None
+        if self.cfg.contrastive_loss:
+            # Prepend CLS to the image tokens: zero position embedding, never
+            # masked (transformer.py:107-119).
+            cls = jnp.broadcast_to(self.CLS.astype(dt)[None],
+                                   (B, 1, self.cfg.hidden_dim))
+            img_tokens = jnp.concatenate([cls, img_tokens], axis=1)
+            pos_tokens = jnp.concatenate(
+                [jnp.zeros((B, 1, self.cfg.hidden_dim), dt), pos_tokens],
+                axis=1)
+            img_token_mask = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), img_token_mask], axis=1)
+            text_last, text_pooled = self.text_encoder(
+                text_ids, key_padding_mask=text_mask,
+                deterministic=deterministic)
+        else:
+            text_last = self.text_encoder(text_ids, key_padding_mask=text_mask,
+                                          deterministic=deterministic)
         text_resized = self.resizer(text_last, deterministic=deterministic)
 
         joint = jnp.concatenate([img_tokens, text_resized.astype(dt)], axis=1)
@@ -131,6 +160,10 @@ class TOIST(nn.Module):
             "src_proj": src,
             "feature_mask": fmask,
         }
+        if self.cfg.contrastive_loss:
+            # Pooled global representations (transformer.py:159-160).
+            memory_cache["text_pooled_op"] = text_pooled
+            memory_cache["img_pooled_op"] = img_memory[:, 0]
         return memory_cache
 
     def decode(self, memory_cache: Dict[str, jnp.ndarray],
@@ -179,7 +212,9 @@ class TOIST(nn.Module):
         # Derive the feature grid from src_proj's static shape: feature_hw in
         # the cache becomes a traced value after crossing a jit boundary.
         B, fh, fw, D = memory_cache["src_proj"].shape
-        memory = memory_cache["img_memory"][:, :fh * fw].reshape(B, fh, fw, D)
+        off = 1 if self.cfg.contrastive_loss else 0  # skip the CLS slot
+        memory = memory_cache["img_memory"][:, off:off + fh * fw].reshape(
+            B, fh, fw, D)
         if query_idx is not None:
             sel = jnp.clip(query_idx, 0, hs_last.shape[1] - 1)
             hs_sel = jnp.take_along_axis(hs_last, sel[..., None], axis=1)

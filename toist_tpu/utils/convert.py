@@ -127,6 +127,10 @@ def _roberta(sd, d_model):
             "output_norm": _ln(sd, f"{t}.output.LayerNorm"),
         }
         i += 1
+    if f"{base}.pooler.dense.weight" in sd:
+        # HF pooler feeds text_pooled_op on the CLS contrastive path
+        # (reference transformer.py:159).
+        te["pooler"] = _lin(sd, f"{base}.pooler.dense")
     return te
 
 
@@ -151,6 +155,15 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], d_model: int = 256,
             sd, "contrastive_align_projection_image")
         params["contrastive_align_projection_text"] = _lin(
             sd, "contrastive_align_projection_text")
+    if "transformer.CLS.weight" in sd:
+        # --contrastive_loss CLS token (reference transformer.py:55).
+        params["CLS"] = sd["transformer.CLS.weight"]
+    if "backbone.1.row_embed.weight" in sd:
+        # PositionEmbeddingLearned inside the Joiner (position_encoding.py:52-86).
+        params["learned_pos"] = {
+            "row_embed": sd["backbone.1.row_embed.weight"],
+            "col_embed": sd["backbone.1.col_embed.weight"],
+        }
 
     enc = {}
     for i in range(enc_layers):

@@ -58,13 +58,16 @@ def convert_torchvision_resnet(state_dict: Dict[str, Any],
     return params["backbone"], frozen["backbone"]
 
 
-def convert_hf_roberta(state_dict: Dict[str, Any]) -> Dict:
+def convert_hf_roberta(state_dict: Dict[str, Any],
+                       keep_pooler: bool = False) -> Dict:
     """Bare HF RobertaModel state_dict -> text_encoder params subtree.
 
-    The pooler (absent from our encoder, unused by the reference's
-    last_hidden_state consumer, transformer.py:133) is dropped."""
+    The pooler is dropped unless keep_pooler (the CLS contrastive path uses
+    pooler_output, reference transformer.py:159; the plain path only consumes
+    last_hidden_state, transformer.py:133)."""
     sd = {f"transformer.text_encoder.{k}": np.asarray(v)
-          for k, v in state_dict.items() if not k.startswith("pooler.")}
+          for k, v in state_dict.items()
+          if keep_pooler or not k.startswith("pooler.")}
     return convert._roberta(sd, d_model=None)
 
 
@@ -103,7 +106,8 @@ def apply_pretrained(cfg, params: Dict, frozen: Dict) -> Tuple[Dict, Dict]:
             frozen = dict(frozen)
             frozen["frozen"] = {**frozen["frozen"], "backbone": bf}
     if cfg.run.pretrained_text:
-        te = convert_hf_roberta(load_state_dict(cfg.run.pretrained_text))
+        te = convert_hf_roberta(load_state_dict(cfg.run.pretrained_text),
+                                keep_pooler=cfg.model.contrastive_loss)
         _check_same_shapes(params["text_encoder"], te, "params/text_encoder")
         params = {**params, "text_encoder": te}
     return params, frozen

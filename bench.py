@@ -1,47 +1,81 @@
-"""Benchmark: flagship detection-eval throughput (images/sec/chip) on TPU.
+"""Benchmark: flagship throughput + MFU on TPU (eval forward and train step).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  metric/value/unit/vs_baseline : eval images/sec/chip for the full TOIST eval
+      forward (ResNet-101 + RoBERTa-base + 6/6 cross-modal transformer +
+      postprocess) at the reference's eval setting (batch 8, short-side-800
+      canvas; scripts/eval_dete.sh). vs_baseline divides by a FLOPs-equivalent
+      PyTorch-CPU model measured once on this machine (BENCH_BASELINE.json);
+      the reference publishes no absolute numbers (BASELINE.md). North star:
+      >= 4x (BASELINE.json).
+  eval_tflops_per_sec / eval_mfu_pct : achieved TFLOP/s from XLA's own
+      compiled cost analysis, and the fraction of the chip's bf16 peak.
+  train_steps_per_sec / train_imgs_per_sec / train_tflops_per_sec /
+  train_mfu_pct : the FULL jitted train step (forward, 6-level batched
+      Hungarian matching, losses, backward, clip, grouped AdamW, EMA) at the
+      reference's train setting (batch 6; the 832x1344 canvas — the largest
+      rung of the train ladder, matching the reference's 800/1333 envelope).
+  component_ms : per-iteration wall-clock of jitted sub-forwards (backbone,
+      text encoder, full eval forward) — a coarse top-of-the-profile view.
 
-value        = images/sec for the full TOIST eval forward (ResNet-101 +
-               RoBERTa-base + 6/6 cross-modal transformer + postprocess) at the
-               reference's eval setting: batch 8, val canvas (the reference
-               evaluates at short-side 800 / max 1333; scripts/eval_dete.sh).
-vs_baseline  = value / (PyTorch-CPU images/sec of a FLOPs-equivalent torch
-               model at the same shapes). The reference publishes no absolute
-               numbers (BASELINE.md), so the baseline is measured here once on
-               this machine and cached in BENCH_BASELINE.json. Target: >= 4x
-               (BASELINE.json north star).
+NB: on this platform block_until_ready does not actually synchronize, so every
+timed loop threads a data dependency through its iterations and the clock
+stops only after materializing a result on the host.
 """
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
-BENCH_BATCH = 8
+BENCH_EVAL_BATCH = 8
+BENCH_TRAIN_BATCH = 6
 # Eval canvas: short side 800, long side <=1333 padded to /32 (SURVEY.md §5.7).
 BENCH_H, BENCH_W = 800, 1344
+TRAIN_H, TRAIN_W = 832, 1344
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
+# bf16 peak TFLOP/s by device kind substring (dense MXU peak per chip).
+_PEAKS = (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+          ("v6 lite", 918.0), ("v6e", 918.0), ("v4", 275.0), ("v3", 123.0))
 
-def measure_tpu() -> float:
+
+def _chip_peak_tflops(kind: str) -> float:
+    k = kind.lower()
+    for sub, peak in _PEAKS:
+        if sub in k:
+            return peak
+    return 197.0  # conservative default (v5e)
+
+
+def _flops_of(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def measure_eval():
+    """Returns (img/s, tflops/s, component_ms) for the flagship eval forward."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     import __graft_entry__
     from toist_tpu.config import ModelConfig
-    from toist_tpu.models.toist import build_model
     from toist_tpu.models.postprocess import postprocess_boxes
+    from toist_tpu.models.toist import build_model
     from toist_tpu.train.step import init_variables
 
     cfg = ModelConfig()  # flagship, bf16 compute
     model = build_model(cfg, text_vocab_size=50265)
-    batch = __graft_entry__._example_batch(B=BENCH_BATCH, H=BENCH_H, W=BENCH_W)
+    batch = __graft_entry__._example_batch(B=BENCH_EVAL_BATCH, H=BENCH_H,
+                                           W=BENCH_W)
     variables = init_variables(model, batch, seed=0)
-
-    import numpy as np
-    import jax.numpy as jnp
 
     @jax.jit
     def eval_fwd(variables, images, chain, image_mask, text_ids, text_mask,
@@ -58,10 +92,9 @@ def measure_tpu() -> float:
     images = jnp.asarray(batch["images"])
     rest = (jnp.asarray(batch["image_mask"]), jnp.asarray(batch["text_ids"]),
             jnp.asarray(batch["text_mask"]), jnp.asarray(batch["orig_size"]))
-    # Warmup/compile. NB: on this platform block_until_ready does not actually
-    # synchronize, so the clock stops only after materializing a result on the
-    # host; no eager ops inside the loop (eager dispatch is slow here).
     chain = jnp.float32(0.0)
+    lowered = eval_fwd.lower(variables, images, chain, *rest)
+    flops = _flops_of(lowered.compile())
     scores, boxes, chain = eval_fwd(variables, images, chain, *rest)
     np.asarray(scores)
     n_iter = 20
@@ -71,7 +104,83 @@ def measure_tpu() -> float:
     host = np.asarray(scores)
     dt = time.time() - t0
     assert np.isfinite(host).all()
-    return BENCH_BATCH * n_iter / dt
+    img_s = BENCH_EVAL_BATCH * n_iter / dt
+    tflops_s = flops * n_iter / dt / 1e12
+
+    # Coarse component breakdown: jitted sub-forwards, same chain trick.
+    comp = {"eval_forward": dt / n_iter * 1e3}
+
+    @jax.jit
+    def backbone_fwd(variables, images, chain):
+        feats = model.apply(variables, images.astype(model.compute_dtype)
+                            + chain * 1e-30, method=lambda m, x: m.backbone(x))
+        out = feats["layer4"]
+        return out, out.astype(jnp.float32).ravel()[0]
+
+    @jax.jit
+    def text_fwd(variables, text_ids, text_mask, chain):
+        out = model.apply(
+            variables, text_ids, text_mask,
+            method=lambda m, ids, mask: m.text_encoder(
+                ids + (chain * 0).astype(ids.dtype), key_padding_mask=mask,
+                deterministic=True))
+        return out, out.astype(jnp.float32).ravel()[0]
+
+    for name, fn, args in (
+            ("backbone", backbone_fwd, (variables, images)),
+            ("text_encoder", text_fwd, (variables, rest[1], rest[2]))):
+        ch = jnp.float32(0.0)
+        _, ch = fn(*args, ch)
+        np.asarray(ch)
+        t0 = time.time()
+        for _ in range(n_iter):
+            _, ch = fn(*args, ch)
+        np.asarray(ch)
+        comp[name] = (time.time() - t0) / n_iter * 1e3
+    return img_s, tflops_s, comp
+
+
+def measure_train():
+    """Returns (steps/s, img/s, tflops/s) for the FULL flagship train step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__
+    from toist_tpu.config import Config, LossConfig, ModelConfig, OptimConfig
+    from toist_tpu.models.toist import build_model
+    from toist_tpu.train.criterion import build_weight_dict
+    from toist_tpu.train.optim import make_optimizer
+    from toist_tpu.train.step import init_train_state, make_train_step
+
+    cfg = Config(model=ModelConfig(contrastive_align_loss=True),
+                 optim=OptimConfig(train_batch_size=BENCH_TRAIN_BATCH),
+                 loss=LossConfig(aux_loss=True))
+    model = build_model(cfg.model, text_vocab_size=50265)
+    batch = __graft_entry__._example_batch(B=BENCH_TRAIN_BATCH, H=TRAIN_H,
+                                           W=TRAIN_W, N=25)
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch=100,
+                               total_steps=1000)
+    state, frozen = init_train_state(model, cfg, optimizer, batch, seed=0)
+    wd = build_weight_dict(cfg.loss, masks=False,
+                           num_dec_layers=cfg.model.dec_layers)
+    train_step = make_train_step(model, cfg, wd, optimizer, frozen)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+
+    lowered = jax.jit(train_step).lower(state, batch, rng)
+    flops = _flops_of(lowered.compile())
+    state, scalars = train_step(state, batch, rng)   # warmup/compile
+    np.asarray(scalars["loss"])
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        # state threads the data dependency across iterations.
+        state, scalars = train_step(state, batch, rng)
+    loss = float(np.asarray(scalars["loss"]))
+    dt = time.time() - t0
+    assert np.isfinite(loss), loss
+    return n_iter / dt, BENCH_TRAIN_BATCH * n_iter / dt, flops * n_iter / dt / 1e12
 
 
 def measure_torch_cpu() -> float:
@@ -151,8 +260,8 @@ def measure_torch_cpu() -> float:
             return self.cls(hs), self.bbox(hs).sigmoid()
 
     model = Model().eval()
-    img = torch.randn(BENCH_BATCH, 3, BENCH_H, BENCH_W)
-    text = torch.randint(4, 50000, (BENCH_BATCH, 24))
+    img = torch.randn(BENCH_EVAL_BATCH, 3, BENCH_H, BENCH_W)
+    text = torch.randint(4, 50000, (BENCH_EVAL_BATCH, 24))
     with torch.no_grad():
         model(img[:1], text[:1])  # warmup
         n_iter = 2
@@ -160,7 +269,7 @@ def measure_torch_cpu() -> float:
         for _ in range(n_iter):
             model(img, text)
         dt = time.time() - t0
-    return BENCH_BATCH * n_iter / dt
+    return BENCH_EVAL_BATCH * n_iter / dt
 
 
 def get_baseline() -> float:
@@ -170,18 +279,31 @@ def get_baseline() -> float:
     val = measure_torch_cpu()
     with open(BASELINE_FILE, "w") as f:
         json.dump({"torch_cpu_images_per_sec": val,
-                   "batch": BENCH_BATCH, "hw": [BENCH_H, BENCH_W]}, f)
+                   "batch": BENCH_EVAL_BATCH, "hw": [BENCH_H, BENCH_W]}, f)
     return val
 
 
 def main():
+    import jax
+
     baseline = get_baseline()
-    tpu = measure_tpu()
+    peak = _chip_peak_tflops(jax.devices()[0].device_kind)
+    eval_img_s, eval_tf_s, comp = measure_eval()
+    train_step_s, train_img_s, train_tf_s = measure_train()
     print(json.dumps({
         "metric": "eval_images_per_sec_per_chip",
-        "value": round(tpu, 2),
+        "value": round(eval_img_s, 2),
         "unit": "img/s",
-        "vs_baseline": round(tpu / baseline, 2),
+        "vs_baseline": round(eval_img_s / baseline, 2),
+        "eval_tflops_per_sec": round(eval_tf_s, 2),
+        "eval_mfu_pct": round(100 * eval_tf_s / peak, 2),
+        "train_steps_per_sec": round(train_step_s, 3),
+        "train_imgs_per_sec": round(train_img_s, 2),
+        "train_tflops_per_sec": round(train_tf_s, 2),
+        "train_mfu_pct": round(100 * train_tf_s / peak, 2),
+        "chip_peak_bf16_tflops": peak,
+        "device": jax.devices()[0].device_kind,
+        "component_ms": {k: round(v, 2) for k, v in comp.items()},
     }))
 
 

@@ -178,3 +178,46 @@ def test_schedules_reference_semantics():
     np.testing.assert_allclose(float(s["text_encoder"](jnp.int32(6000))), 0.0,
                                atol=1e-12)
     assert float(s["frozen"](jnp.int32(10))) == 0.0
+
+
+def test_hungarian_match_levels_equals_per_level():
+    """One batched [L*B] solve must agree with L independent per-level solves."""
+    from toist_tpu.ops.matching import hungarian_match, hungarian_match_levels
+    L, B, Q, N, C = 3, 2, 6, 4, 16
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(L, B, Q, C)), jnp.float32)
+    pboxes = jnp.asarray(rng.uniform(0.2, 0.8, (L, B, Q, 4)), jnp.float32)
+    batch = _batch(B=B, N=N, L=C)
+    batched = jax.jit(hungarian_match_levels)(
+        logits, pboxes, batch["boxes"], batch["positive_map"],
+        batch["box_valid"])
+    for lvl in range(L):
+        single = hungarian_match(logits[lvl], pboxes[lvl], batch["boxes"],
+                                 batch["positive_map"], batch["box_valid"])
+        np.testing.assert_array_equal(np.asarray(batched[lvl]),
+                                      np.asarray(single.tgt2query))
+
+
+def test_loss_softkd_levels_equals_per_level():
+    from toist_tpu.ops.matching import hungarian_match_levels
+    L, B, Q, N, C = 3, 2, 6, 4, 16
+    rng = np.random.default_rng(8)
+    batch = _batch(B=B, N=N, L=C)
+    def stream(seed):
+        r = np.random.default_rng(seed)
+        lg = jnp.asarray(r.normal(size=(L, B, Q, C)), jnp.float32)
+        bx = jnp.asarray(r.uniform(0.2, 0.8, (L, B, Q, 4)), jnp.float32)
+        t2q = hungarian_match_levels(lg, bx, batch["boxes"],
+                                     batch["positive_map"],
+                                     batch["box_valid"])
+        return lg, bx, t2q
+    nl, nb, tn = stream(1)
+    sl, sb, ts = stream(2)
+    sv = batch["sample_valid"].astype(jnp.float32)
+    kd = jax.jit(crit.loss_softkd_levels)(nl, sl, nb, sb, tn, ts,
+                                          batch["box_valid"], sv)
+    assert kd.shape == (L,)
+    for lvl in range(L):
+        one = crit.loss_softkd(nl[lvl], sl[lvl], nb[lvl], sb[lvl], tn[lvl],
+                               ts[lvl], batch["box_valid"], sv)
+        np.testing.assert_allclose(float(kd[lvl]), float(one), rtol=1e-5)

@@ -163,3 +163,23 @@ def test_batch_iterator_sharding(fixture_root, tokenizer):
         for b in it.epoch(0):
             ids.extend(b["image_id"][b["sample_valid"]].tolist())
     assert sorted(ids) == sorted(d for ds in datasets for d in ds.ids)
+
+
+def test_train_bucket_ladder_covers_resize_envelope():
+    """Every shape the train pipeline can emit fits some ladder canvas, and
+    small-scale samples land on a smaller canvas than the 832x1344 eval one."""
+    from toist_tpu.data.batcher import BucketSpec, train_buckets
+    spec = BucketSpec(buckets=train_buckets(1333))
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        short = int(rng.integers(100, 801))
+        long = int(rng.integers(short, 1334))
+        for h, w in ((short, long), (long, short)):
+            bi = spec.pick(h, w)
+            assert bi >= 0, (h, w)
+    # A 480-scale 4:3 landscape sample must pick the smallest canvas.
+    bi = spec.pick(480, 640)
+    assert spec.buckets[bi] == (480, 800)
+    # Padding waste on that sample stays under 1.3x.
+    bh, bw = spec.buckets[bi]
+    assert bh * bw / (480 * 640) < 1.3

@@ -111,3 +111,64 @@ def test_frozen_detector_labels(seg_model):
     assert got_model and got_frozen
     assert all("mask_head" in str(p) or "bbox_attention" in str(p)
                for p in got_model)
+
+
+def test_bilinear_resize_matches_torch_interpolate():
+    """The vectorized mask resize must match the reference's
+    F.interpolate(mode='bilinear', align_corners=False) bit-for-bit-ish."""
+    import torch
+    import torch.nn.functional as F
+
+    from toist_tpu.models.postprocess import _bilinear_resize_qhw
+
+    rng = np.random.default_rng(3)
+    for (h, w, oh, ow) in [(13, 17, 52, 68), (50, 40, 23, 31), (8, 8, 8, 8),
+                           (200, 336, 480, 640)]:
+        m = rng.normal(size=(5, h, w)).astype(np.float32)
+        ours = _bilinear_resize_qhw(m, oh, ow)
+        theirs = F.interpolate(torch.from_numpy(m)[None], size=(oh, ow),
+                               mode="bilinear",
+                               align_corners=False)[0].numpy()
+        # torch computes source indices in float32 inside its kernels;
+        # tiny index-rounding differences bound the achievable parity.
+        np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_mask_postprocess_vectorized_speed():
+    """All-Q vectorized postprocess stays well under the per-query budget:
+    100 queries x 2 images to ~VGA in < 3s on the CPU test runner."""
+    import time
+
+    from toist_tpu.models.postprocess import postprocess_masks_host
+
+    rng = np.random.default_rng(0)
+    pm = rng.normal(size=(2, 100, 200, 336)).astype(np.float32)
+    sizes = np.array([[800, 1333], [760, 1140]])
+    orig = np.array([[480, 640], [375, 500]])
+    valid = np.array([True, True])
+    t0 = time.time()
+    out = postprocess_masks_host(pm, sizes, orig, valid)
+    dt = time.time() - t0
+    assert len(out[0]) == 100 and out[1] is not None
+    assert dt < 3.0, f"mask postprocess too slow: {dt:.2f}s"
+
+
+def test_mask_postprocess_device_matches_host():
+    """The MXU-matmul device path (resize+threshold+bitpack on TPU/CPU-jit)
+    must produce identical RLEs to the host matmul path."""
+    import jax.numpy as jnp
+
+    from toist_tpu.models.postprocess import (postprocess_masks_device,
+                                              postprocess_masks_host)
+
+    rng = np.random.default_rng(5)
+    pm = rng.normal(size=(2, 4, 52, 84)).astype(np.float32) * 3
+    sizes = np.array([[200, 333], [190, 285]])
+    orig = np.array([[120, 160], [95, 125]])
+    valid = np.array([True, False])
+    dev = postprocess_masks_device(jnp.asarray(pm), sizes, orig, valid)
+    host = postprocess_masks_host(pm, sizes, orig, valid)
+    assert dev[1] is None and host[1] is None
+    for q in range(4):
+        assert dev[0][q]["counts"] == host[0][q]["counts"], q
+        assert dev[0][q]["size"] == host[0][q]["size"]

@@ -104,13 +104,16 @@ class TaskEvaluator:
         padded = np.zeros(maxlen, np.uint8)
         padded[:arr.size] = arr
         gathered = multihost_utils.process_allgather(padded)
-        merged, seen = [], set()
+        # Per-image ownership: every image is scored by exactly one host (the
+        # lowest-indexed one that produced records for it). The data sharding
+        # already assigns each image to one host; ownership here only guards
+        # against batch-pad duplicates, and — unlike a per-record dedup key —
+        # can never drop two distinct detections that happen to coincide.
+        merged, owner = [], {}
         for i in range(gathered.shape[0]):
             recs = pickle.loads(gathered[i, :int(sizes[i, 0])].tobytes())
             for r in recs:
-                key = (r["image_id"], tuple(np.round(r["bbox"], 3)), r["score"])
-                if key not in seen:
-                    seen.add(key)
+                if owner.setdefault(r["image_id"], i) == i:
                     merged.append(r)
         self.dt_records = merged
 

@@ -20,7 +20,8 @@ import jax
 import numpy as np
 
 from toist_tpu.config import Config
-from toist_tpu.data.batcher import BatchIterator, BucketSpec, default_buckets
+from toist_tpu.data.batcher import (BatchIterator, BucketSpec, default_buckets,
+                                    train_buckets)
 from toist_tpu.data.cocotasks import TASKS, build_task_dataset
 from toist_tpu.data.tokenizer import RobertaBPE
 from toist_tpu.eval.evaluator import mean_ap50
@@ -54,14 +55,24 @@ def build_tokenizer(cfg: Config) -> RobertaBPE:
 
 
 def build_all(cfg: Config, image_set_for_eval: str = "val"):
+    """Returns (tokenizer, model, train_spec, eval_spec).
+
+    Eval uses the two-canvas 832x1344 spec (fixed short-side-800 resize);
+    training uses the finer 8-canvas ladder so multiscale samples don't pad to
+    the full eval canvas (batcher.train_buckets)."""
     tokenizer = build_tokenizer(cfg)
     model = build_model(cfg.model, text_vocab_size=tokenizer.vocab_size)
-    spec = BucketSpec(
+    common = dict(max_text_len=cfg.data.max_text_len,
+                  max_boxes=cfg.data.max_boxes,
+                  num_logit_cols=cfg.data.num_logit_cols,
+                  with_masks=cfg.model.masks)
+    eval_spec = BucketSpec(
         buckets=cfg.data.image_buckets if cfg.data.image_buckets else
-        default_buckets(cfg.data.max_size, 800),
-        max_text_len=cfg.data.max_text_len, max_boxes=cfg.data.max_boxes,
-        num_logit_cols=cfg.data.num_logit_cols, with_masks=cfg.model.masks)
-    return tokenizer, model, spec
+        default_buckets(cfg.data.max_size, 800), **common)
+    train_spec = BucketSpec(
+        buckets=cfg.data.train_image_buckets if cfg.data.train_image_buckets
+        else train_buckets(cfg.data.max_size, cfg.data.train_scales), **common)
+    return tokenizer, model, train_spec, eval_spec
 
 
 def maybe_init_distributed() -> None:
@@ -94,7 +105,7 @@ def main(cfg: Config) -> Optional[float]:
     maybe_init_distributed()
     print(f"toist_tpu git sha: {git_sha()}", flush=True)
     mesh = mesh_lib.make_mesh(cfg.run.mesh_shape, cfg.run.mesh_axes)
-    tokenizer, model, spec = build_all(cfg)
+    tokenizer, model, train_spec, eval_spec = build_all(cfg)
     jsonl = JsonlLogger(cfg.run.output_dir)
 
     train_sets = []
@@ -111,7 +122,7 @@ def main(cfg: Config) -> Optional[float]:
     steps_per_epoch = 100
     if train_sets:
         train_iter = BatchIterator(
-            train_sets, spec, batch_size=cfg.optim.train_batch_size,
+            train_sets, train_spec, batch_size=cfg.optim.train_batch_size,
             seed=cfg.run.seed, shuffle=True,
             shard_id=jax.process_index(), num_shards=jax.process_count(),
             paired=cfg.loss.distillation, num_workers=cfg.data.num_workers)
@@ -125,7 +136,7 @@ def main(cfg: Config) -> Optional[float]:
                                     cfg.model.dec_layers)
 
     # A minimal sample batch for shape-complete init.
-    sample = _dummy_batch(spec, cfg.optim.train_batch_size)
+    sample = _dummy_batch(eval_spec, cfg.optim.train_batch_size)
     state, frozen = init_train_state(model, cfg, optimizer, sample,
                                      seed=cfg.run.seed)
     if cfg.run.pretrained_backbone or cfg.run.pretrained_text:
@@ -208,7 +219,7 @@ def main(cfg: Config) -> Optional[float]:
 
     def run_eval(params) -> float:
         results = engine.evaluate(
-            eval_step, params, val_sets, spec,
+            eval_step, params, val_sets, eval_spec,
             batch_size=cfg.optim.valid_batch_size, mesh=mesh,
             iou_types=("bbox",) if not cfg.model.masks else ("bbox", "segm"))
         m = mean_ap50(results)

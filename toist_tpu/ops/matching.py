@@ -74,10 +74,16 @@ def hungarian_match(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     cost_t = jnp.take_along_axis(
         jnp.swapaxes(cost, 1, 2), order[:, :, None], axis=1)          # [B, T, Q]
     # Padded target rows get zero cost rows (ignored by solver via n_rows).
-    # Backend: the vmapped XLA solver by default; TOIST_LSA_BACKEND=pallas runs
-    # the VMEM-resident Pallas kernel (ops/lsa_pallas.py, bitwise-identical).
+    # Backend: measured on v5e at the flagship train shape (L6xB6 Q100 T25,
+    # scripts/bench_matching.py): pallas 2.30ms vs xla 2.46ms -> the
+    # VMEM-resident Pallas kernel (ops/lsa_pallas.py, bitwise-identical) is
+    # the default on TPU; the vmapped XLA solver elsewhere (pallas TPU
+    # lowering is TPU-only). TOIST_LSA_BACKEND={pallas,xla} overrides.
     import os
-    if os.environ.get("TOIST_LSA_BACKEND") == "pallas":
+    backend = os.environ.get("TOIST_LSA_BACKEND")
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
         from toist_tpu.ops.lsa_pallas import solve_lsa_batch_pallas
         assigned = solve_lsa_batch_pallas(cost_t, n_valid)            # [B, T]
     else:
@@ -87,6 +93,39 @@ def hungarian_match(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     tgt2query = jax.vmap(lambda t2q, o, a: t2q.at[o].set(a))(tgt2query, order, assigned)
     tgt2query = jnp.where(tgt_valid, tgt2query, -1)
     return MatchResult(tgt2query=tgt2query, cost=cost)
+
+
+def hungarian_match_levels(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
+                           tgt_boxes: jnp.ndarray, positive_map: jnp.ndarray,
+                           tgt_valid: jnp.ndarray,
+                           cost_class: float = 1.0, cost_bbox: float = 5.0,
+                           cost_giou: float = 2.0) -> jnp.ndarray:
+    """Match ALL decoder levels in one batched solve.
+
+    The reference solves matching once per decoder layer per step — 6 separate
+    scipy calls (models/matcher.py:82-85 via mdetr.py:1004-1021 aux loop). A
+    sequential chain of 6 on-device solves would serialize 6 data-dependent
+    while_loops; folding the level axis into the batch instead runs all L*B
+    assignment problems in one lockstep vmapped solve, so the step pays for the
+    single slowest matrix rather than 6 per-level maxima.
+
+    Args:
+      pred_logits: [L, B, Q, C] per-level raw logits (aux levels + main).
+      pred_boxes:  [L, B, Q, 4] cxcywh.
+      tgt_boxes / positive_map / tgt_valid: shared [B, ...] targets.
+
+    Returns tgt2query [L, B, T] int32 (-1 for invalid targets).
+    """
+    L, B, Q, C = pred_logits.shape
+    T = tgt_boxes.shape[1]
+    flat = lambda x: x.reshape((L * B,) + x.shape[2:])
+    tile = lambda x: jnp.broadcast_to(
+        x[None], (L,) + x.shape).reshape((L * B,) + x.shape[1:])
+    res = hungarian_match(flat(pred_logits), flat(pred_boxes),
+                          tile(tgt_boxes), tile(positive_map), tile(tgt_valid),
+                          cost_class=cost_class, cost_bbox=cost_bbox,
+                          cost_giou=cost_giou)
+    return res.tgt2query.reshape(L, B, T)
 
 
 def query_is_matched(tgt2query: jnp.ndarray, num_queries: int) -> jnp.ndarray:

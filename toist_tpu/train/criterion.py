@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from toist_tpu.config import LossConfig
 from toist_tpu.ops import box_ops
-from toist_tpu.ops.matching import hungarian_match
+from toist_tpu.ops.matching import hungarian_match_levels
 
 
 def _gather_queries(arr: jnp.ndarray, tgt2query: jnp.ndarray) -> jnp.ndarray:
@@ -187,15 +187,28 @@ def set_criterion(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
 
     losses: Dict[str, jnp.ndarray] = {}
 
-    def one_level(logits, pboxes, proj_q, suffix, level_masks):
-        # Matching is not differentiated (reference matcher.py:39 @torch.no_grad;
-        # also JAX cannot reverse-differentiate the solver's while_loops).
-        match = hungarian_match(
-            jax.lax.stop_gradient(logits), jax.lax.stop_gradient(pboxes),
-            boxes, pm, bv,
-            cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
-            cost_giou=cfg.set_cost_giou)
-        t2q = match.tgt2query
+    # Stack all decoder levels (aux 0..n-1, then main) and match them in ONE
+    # batched solve: 6 sequential per-level solves would serialize 6
+    # data-dependent while_loops (reference runs 6 scipy calls per step,
+    # mdetr.py:1004-1021); one [L*B] lockstep solve pays only for the slowest
+    # single matrix. Matching is not differentiated (matcher.py:39
+    # @torch.no_grad; JAX cannot reverse-differentiate the solver's loops).
+    has_aux = cfg.aux_loss and "aux_pred_logits" in outputs
+    if has_aux:
+        logits_lvl = jnp.concatenate(
+            [outputs["aux_pred_logits"], outputs["pred_logits"][None]], axis=0)
+        boxes_lvl = jnp.concatenate(
+            [outputs["aux_pred_boxes"], outputs["pred_boxes"][None]], axis=0)
+    else:
+        logits_lvl = outputs["pred_logits"][None]
+        boxes_lvl = outputs["pred_boxes"][None]
+    t2q_lvl = hungarian_match_levels(
+        jax.lax.stop_gradient(logits_lvl), jax.lax.stop_gradient(boxes_lvl),
+        boxes, pm, bv,
+        cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
+        cost_giou=cfg.set_cost_giou)                           # [L, B, N]
+
+    def one_level(logits, pboxes, proj_q, suffix, t2q):
         losses[f"{prefix}loss_ce{suffix}"] = loss_labels(
             logits, pm, t2q, bv, sv, cfg.eos_coef, num_boxes)
         lb, lg = loss_boxes(pboxes, boxes, t2q, bv, num_boxes)
@@ -215,15 +228,16 @@ def set_criterion(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
 
     proj_q = outputs.get("proj_queries")
     t2q_main = one_level(outputs["pred_logits"], outputs["pred_boxes"], proj_q,
-                         "", None)
-    if cfg.aux_loss and "aux_pred_logits" in outputs:
+                         "", t2q_lvl[-1])
+    if has_aux:
         n_aux = outputs["aux_pred_logits"].shape[0]
         for i in range(n_aux):
             aux_pq = (outputs["aux_proj_queries"][i]
                       if "aux_proj_queries" in outputs and proj_q is not None
                       else None)
             one_level(outputs["aux_pred_logits"][i],
-                      outputs["aux_pred_boxes"][i], aux_pq, f"_{i}", None)
+                      outputs["aux_pred_boxes"][i], aux_pq, f"_{i}",
+                      t2q_lvl[i])
     losses["_tgt2query" if not prefix else f"_{prefix}tgt2query"] = t2q_main
     return losses
 
@@ -241,16 +255,17 @@ def _kl2(p_tgt: jnp.ndarray, p_src: jnp.ndarray) -> jnp.ndarray:
         p_tgt * (jnp.log(p_tgt + eps) - jnp.log(p_src + eps)), axis=-1)
 
 
-def loss_softkd(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
-                noun_boxes: jnp.ndarray, sth_boxes: jnp.ndarray,
-                t2q_noun: jnp.ndarray, t2q_sth: jnp.ndarray,
-                box_valid: jnp.ndarray, sample_valid: jnp.ndarray) -> jnp.ndarray:
-    """Preference distillation (reference mdetr.py:520-599).
+def _softkd_per_image(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
+                      noun_boxes: jnp.ndarray, sth_boxes: jnp.ndarray,
+                      t2q_noun: jnp.ndarray, t2q_sth: jnp.ndarray,
+                      box_valid: jnp.ndarray,
+                      sample_valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-image softkd loss [(sum TP KL + sum FP KL) / Q], shape [B].
 
-    TP pairs: queries matched to the same target in the two streams. FP pairs:
-    remaining queries re-paired by a second assignment over KL + L1 + (-GIoU)
-    (softkd_matcher :520-541, unit weights). KL(teacher||student) per pair,
-    mean over the Q rows per image, mean over valid images.
+    Preference distillation (reference mdetr.py:520-599). TP pairs: queries
+    matched to the same target in the two streams. FP pairs: remaining queries
+    re-paired by a second assignment over KL + L1 + (-GIoU) (softkd_matcher
+    :520-541, unit weights). KL(teacher||student) per pair.
     """
     from toist_tpu.ops.lsa import solve_lsa
 
@@ -301,9 +316,43 @@ def loss_softkd(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
         sample_valid[:, None]
     fp_kl = _kl2(paired_noun, fps_bi) * fp_row_valid
 
-    per_image = (jnp.sum(tp_kl, axis=-1) + jnp.sum(fp_kl, axis=-1)) / Q
+    return (jnp.sum(tp_kl, axis=-1) + jnp.sum(fp_kl, axis=-1)) / Q
+
+
+def loss_softkd(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
+                noun_boxes: jnp.ndarray, sth_boxes: jnp.ndarray,
+                t2q_noun: jnp.ndarray, t2q_sth: jnp.ndarray,
+                box_valid: jnp.ndarray, sample_valid: jnp.ndarray) -> jnp.ndarray:
+    """Softkd for one decoder level: per-image mean over valid images."""
+    per_image = _softkd_per_image(noun_logits, sth_logits, noun_boxes,
+                                  sth_boxes, t2q_noun, t2q_sth, box_valid,
+                                  sample_valid)
     denom = jnp.maximum(jnp.sum(sample_valid), 1)
     return jnp.sum(per_image * sample_valid) / denom
+
+
+def loss_softkd_levels(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
+                       noun_boxes: jnp.ndarray, sth_boxes: jnp.ndarray,
+                       t2q_noun: jnp.ndarray, t2q_sth: jnp.ndarray,
+                       box_valid: jnp.ndarray,
+                       sample_valid: jnp.ndarray) -> jnp.ndarray:
+    """All decoder levels' softkd in ONE batched FP re-pairing solve.
+
+    Args are stacked [L, B, ...] (t2q from hungarian_match_levels); box_valid /
+    sample_valid are shared [B, ...]. Returns [L] per-level losses. Folding L
+    into the batch runs the 6 per-level assignment solves in lockstep instead
+    of serially (same rationale as hungarian_match_levels).
+    """
+    L, B = noun_logits.shape[:2]
+    flat = lambda x: x.reshape((L * B,) + x.shape[2:])
+    tile = lambda x: jnp.broadcast_to(
+        x[None], (L,) + x.shape).reshape((L * B,) + x.shape[1:])
+    per_image = _softkd_per_image(
+        flat(noun_logits), flat(sth_logits), flat(noun_boxes), flat(sth_boxes),
+        flat(t2q_noun), flat(t2q_sth), tile(box_valid),
+        tile(sample_valid)).reshape(L, B)
+    denom = jnp.maximum(jnp.sum(sample_valid), 1)
+    return jnp.sum(per_image * sample_valid[None, :], axis=-1) / denom
 
 
 def loss_nsthl2(noun_text_memory: jnp.ndarray, sth_text_memory: jnp.ndarray,

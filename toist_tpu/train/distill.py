@@ -25,6 +25,7 @@ from toist_tpu.train import cluster as cl
 from toist_tpu.train import criterion as crit
 from toist_tpu.train.optim import ema_update
 from toist_tpu.train.state import TrainState
+from toist_tpu.train.step import make_dropout_rng
 
 
 def _apply_encode(model, params, frozen, batch, rngs, deterministic):
@@ -92,18 +93,28 @@ def make_distillation_train_step(model, cfg: Config,
         bv = sth_b["box_valid"]
         sv = sth_b["sample_valid"]
         if lcfg.softkd_loss:
-            losses["loss_softkd"] = crit.loss_softkd(
-                tout["pred_logits"], sout["pred_logits"],
-                tout["pred_boxes"], sout["pred_boxes"],
-                losses["_noun_tgt2query"], losses["_sth_tgt2query"], bv, sv)
-            if lcfg.aux_loss:
+            if lcfg.aux_loss and "aux_pred_logits" in tout:
+                # All 6 levels' FP re-pairing solves batched into one lockstep
+                # solve (crit.loss_softkd_levels); level order: aux 0..4, main.
                 n_aux = tout["aux_pred_logits"].shape[0]
+                cat = lambda o, k: jnp.concatenate(
+                    [o[f"aux_{k}"], o[k][None]], axis=0)
+                stack_t2q = lambda p: jnp.stack(
+                    [losses[f"_{p}_tgt2query_{i}"] for i in range(n_aux)]
+                    + [losses[f"_{p}_tgt2query"]], axis=0)
+                kd = crit.loss_softkd_levels(
+                    cat(tout, "pred_logits"), cat(sout, "pred_logits"),
+                    cat(tout, "pred_boxes"), cat(sout, "pred_boxes"),
+                    stack_t2q("noun"), stack_t2q("sth"), bv, sv)
+                losses["loss_softkd"] = kd[-1]
                 for i in range(n_aux):
-                    losses[f"loss_softkd_{i}"] = crit.loss_softkd(
-                        tout["aux_pred_logits"][i], sout["aux_pred_logits"][i],
-                        tout["aux_pred_boxes"][i], sout["aux_pred_boxes"][i],
-                        losses[f"_noun_tgt2query_{i}"],
-                        losses[f"_sth_tgt2query_{i}"], bv, sv)
+                    losses[f"loss_softkd_{i}"] = kd[i]
+            else:
+                losses["loss_softkd"] = crit.loss_softkd(
+                    tout["pred_logits"], sout["pred_logits"],
+                    tout["pred_boxes"], sout["pred_boxes"],
+                    losses["_noun_tgt2query"], losses["_sth_tgt2query"],
+                    bv, sv)
         if lcfg.nsthl2_loss:
             losses["loss_nsthl2"] = crit.loss_nsthl2(
                 tcache["text_memory"], scache["text_memory"],
@@ -117,7 +128,8 @@ def make_distillation_train_step(model, cfg: Config,
     @jax.jit
     def train_step(state: TrainState, batches, rng
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = make_dropout_rng(rng, state.step,
+                                    cfg.run.dropout_rng_impl)
         params = {"student": state.params, "teacher": state.teacher_params}
         (loss, (scalars, bank)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, state.cluster_bank, batches,

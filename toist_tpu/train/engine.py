@@ -58,11 +58,13 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
              print_freq: int = 10) -> Dict[int, Dict[str, np.ndarray]]:
     """Run per-task evaluation; returns {task_id: {'bbox': stats12, ...}}."""
     if "segm" in iou_types and mask_postprocess is None:
-        from toist_tpu.models.postprocess import postprocess_masks_host
+        from toist_tpu.models.postprocess import postprocess_masks_device
 
         def mask_postprocess(res, b):
-            return postprocess_masks_host(res["pred_masks"], b["size"],
-                                          b["orig_size"], b["sample_valid"])
+            # Batched MXU resize + threshold + bitpack on device; host only
+            # unpacks bits and RLE-encodes (postprocess.py).
+            return postprocess_masks_device(res["pred_masks"], b["size"],
+                                            b["orig_size"], b["sample_valid"])
     results = {}
     for task_id, ds in task_datasets.items():
         gts = gt_records_from_json(ds.coco.dataset)

@@ -36,6 +36,22 @@ def split_variables(variables: Any) -> Tuple[Any, Dict[str, Any]]:
     return params, frozen
 
 
+def make_dropout_rng(rng: jax.Array, step: jnp.ndarray,
+                     impl: str = "rbg") -> jax.Array:
+    """Per-step dropout key on the configured PRNG implementation.
+
+    Threefry mask generation dominates the train forward at flagship shapes
+    (the attention-probs dropout draws ~400M random bits/step); re-keying the
+    dropout stream onto "rbg" (XLA RngBitGenerator) cuts the measured forward
+    from 149.8ms to 39.4ms on v5e. See RunConfig.dropout_rng_impl.
+    """
+    k = jax.random.fold_in(rng, step)
+    if impl in ("threefry2x32", ""):
+        return k
+    data = jax.random.key_data(jax.random.split(k, 2)).reshape(-1)[:4]
+    return jax.random.wrap_key_data(data, impl=impl)
+
+
 def model_forward(model, params, frozen, batch, rngs=None, deterministic=True):
     variables = {"params": params, **frozen}
     return model.apply(
@@ -94,7 +110,8 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = make_dropout_rng(rng, state.step,
+                                    cfg.run.dropout_rng_impl)
         (loss, (scalars, bank)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.cluster_bank, batch,
                                    step_rng)

@@ -56,7 +56,7 @@ def visualize(cfg: Config, out_dir: str, score_threshold: float = 0.95,
     from toist_tpu.train.step import (init_train_state, make_eval_step)
 
     os.makedirs(out_dir, exist_ok=True)
-    tokenizer, model, spec = build_all(cfg)
+    tokenizer, model, _train_spec, spec = build_all(cfg)
     optimizer = make_optimizer(cfg.optim, 1, 1)
     sample = None
     written = 0

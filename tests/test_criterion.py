@@ -213,7 +213,7 @@ def test_loss_softkd_levels_equals_per_level():
         return lg, bx, t2q
     nl, nb, tn = stream(1)
     sl, sb, ts = stream(2)
-    sv = batch["sample_valid"].astype(jnp.float32)
+    sv = batch["sample_valid"]
     kd = jax.jit(crit.loss_softkd_levels)(nl, sl, nb, sb, tn, ts,
                                           batch["box_valid"], sv)
     assert kd.shape == (L,)

@@ -230,6 +230,9 @@ def test_distillation_train_step():
     train_step = make_distillation_train_step(model, DIS_CFG, wd, optimizer,
                                               frozen, tfrozen)
     rng = jax.random.PRNGKey(0)
+    # Snapshot before training: the step donates its input state, and
+    # state.teacher_params aliases tparams.
+    tparams0 = jax.device_get(tparams)
     losses = []
     for i in range(6):
         state, sc = train_step(state, batches, rng)
@@ -244,7 +247,8 @@ def test_distillation_train_step():
     assert int(state.step) == 6
     # Teacher params actually trained (not frozen).
     diff = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.teacher_params, tparams)
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.teacher_params, tparams0)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
     # Cluster eval step runs with the trained bank.

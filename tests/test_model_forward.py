@@ -185,3 +185,31 @@ def test_learned_position_embedding_path():
     (out, _cache) = jax.jit(lambda p, *a: model.apply(p, *a))(
         params, images, image_mask, text_ids, text_mask)
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_stem_conv_space_to_depth_exact():
+    """StemConv's space-to-depth rewrite must equal the plain 7x7/s2/p3 conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from toist_tpu.models.resnet import StemConv
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+    stem = StemConv(8, dtype=jnp.float32)
+    variables = jax.jit(stem.init)(jax.random.PRNGKey(0), x)
+    got = jax.jit(stem.apply)(variables, x)
+    want = jax.lax.conv_general_dilated(
+        x, variables["params"]["kernel"], (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.shape == want.shape == (2, 32, 48, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # Odd spatial sizes fall back to the plain conv path.
+    x_odd = jnp.asarray(rng.normal(size=(1, 63, 95, 3)), jnp.float32)
+    got_odd = jax.jit(stem.apply)(variables, x_odd)
+    want_odd = jax.lax.conv_general_dilated(
+        x_odd, variables["params"]["kernel"], (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got_odd), np.asarray(want_odd),
+                               atol=1e-5, rtol=1e-5)

@@ -17,7 +17,14 @@ from toist_tpu.train.optim import make_optimizer
 from toist_tpu.train.step import init_train_state, make_train_step
 from tests.test_train_step import synthetic_batch
 
+# dropout_rng_impl: the default "rbg" PRNG is partitioning-dependent (XLA
+# RngBitGenerator draws different bits for a sharded vs unsharded tensor), so
+# cross-topology bitwise equality — what this module asserts — requires the
+# threefry stream (RunConfig.dropout_rng_impl docs).
+from toist_tpu.config import RunConfig
+
 CFG = Config(
+    run=RunConfig(dropout_rng_impl="threefry2x32"),
     model=ModelConfig(backbone="resnet18-test", hidden_dim=64, nheads=4,
                       dim_feedforward=128, enc_layers=1, dec_layers=1,
                       num_queries=10, compute_dtype="float32",
@@ -44,23 +51,27 @@ def test_sharded_step_matches_single_device():
     train_step = make_train_step(model, CFG, wd, optimizer, frozen)
     rng = jax.random.PRNGKey(0)
 
-    # Single device (default placement).
-    s1, sc1 = train_step(state, batch, rng)
-
-    # 8-device data-parallel placement.
+    # 8-device replica made BEFORE the single-device step: the train step
+    # donates its input state, so `state` is consumed by the first call.
     mesh = mesh_lib.make_mesh((8,), ("data",))
     state8 = mesh_lib.replicate_tree(state, mesh)
     batch8 = mesh_lib.shard_batch(batch, mesh)
+
+    # Single device (default placement).
+    s1, sc1 = train_step(state, batch, rng)
     s8, sc8 = train_step(state8, batch8, rng)
 
     np.testing.assert_allclose(float(sc1["loss"]), float(sc8["loss"]),
                                rtol=2e-5)
     np.testing.assert_allclose(float(sc1["grad_norm"]),
                                float(sc8["grad_norm"]), rtol=2e-4)
-    # Updated params agree across the placements.
+    # Updated params agree across the placements. NB the first AdamW step
+    # from zero moments is sign-like (update ~ lr * sign(g)), so a reduction-
+    # order bit-flip on any near-zero gradient element moves a param by up to
+    # 2*lr; loss/grad_norm above are the tight forward/backward checks.
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), s1.params, s8.params)
-    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2.5 * CFG.optim.lr
     # Replicated output really is replicated (single value per leaf).
     leaf = jax.tree_util.tree_leaves(s8.params)[0]
     assert leaf.sharding.is_fully_replicated
@@ -89,14 +100,6 @@ def test_zero1_opt_state_sharding():
     state_z = state_z.replace(
         opt_state=mesh_lib.shard_opt_state(state_z.opt_state, mesh))
     step_z = make_train_step(model, CFG, wd, optimizer, frozen, mesh=mesh)
-    s_z, sc_z = step_z(state_z, mesh_lib.shard_batch(batch, mesh),
-                       jax.random.PRNGKey(0))
-
-    np.testing.assert_allclose(float(sc_rep["loss"]), float(sc_z["loss"]),
-                               rtol=2e-5)
-    diffs = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()), s_rep.params, s_z.params)
-    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
 
     # At least one big moment leaf is actually sharded 8-ways, before AND
     # after the step (the constraint keeps the layout stable).
@@ -110,7 +113,17 @@ def test_zero1_opt_state_sharding():
                     n_sharded += 1
         return n_sharded, n_big
 
+    # Measure the pre-step sharding before the donating step consumes state_z.
     pre_sharded, pre_big = sharded_fraction(state_z.opt_state)
+    s_z, sc_z = step_z(state_z, mesh_lib.shard_batch(batch, mesh),
+                       jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(sc_rep["loss"]), float(sc_z["loss"]),
+                               rtol=2e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_rep.params, s_z.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
     post_sharded, post_big = sharded_fraction(s_z.opt_state)
     assert pre_big > 0 and pre_sharded == pre_big, (pre_sharded, pre_big)
     assert post_sharded == post_big, (post_sharded, post_big)
@@ -126,16 +139,19 @@ def test_freeze_text_encoder():
     state, frozen = init_train_state(model, CFG, optimizer, batch, seed=0)
     wd = build_weight_dict(CFG.loss, masks=False, num_dec_layers=1)
     step = make_train_step(model, CFG, wd, optimizer, frozen)
+    # Snapshot before the step: the train step donates (consumes) its input.
+    old_params = jax.device_get(state.params)
     s1, _ = step(state, batch, jax.random.PRNGKey(0))
 
     def max_delta(sub_old, sub_new):
         d = jax.tree_util.tree_map(
-            lambda a, b: float(jnp.abs(a - b).max()), sub_old, sub_new)
+            lambda a, b: float(jnp.abs(np.asarray(a) - np.asarray(b)).max()),
+            sub_old, sub_new)
         return max(jax.tree_util.tree_leaves(d))
 
-    assert max_delta(state.params["text_encoder"],
+    assert max_delta(old_params["text_encoder"],
                      s1.params["text_encoder"]) == 0.0
-    assert max_delta(state.params["decoder"], s1.params["decoder"]) > 0.0
+    assert max_delta(old_params["decoder"], s1.params["decoder"]) > 0.0
 
 
 @pytest.mark.slow
@@ -182,11 +198,12 @@ def test_distillation_bank_identical_under_sharding():
                                         tfrozen)
     rng = jax.random.PRNGKey(0)
 
-    s1, sc1 = step(state, batches, rng)
-
+    # Replicate before the first step: the train step donates its input.
     mesh = mesh_lib.make_mesh((8,), ("data",))
     state8 = mesh_lib.replicate_tree(state, mesh)
     b8 = mesh_lib.shard_batch(batches, mesh)
+
+    s1, sc1 = step(state, batches, rng)
     s8, sc8 = step(state8, b8, rng)
 
     np.testing.assert_allclose(float(sc1["loss"]), float(sc8["loss"]),

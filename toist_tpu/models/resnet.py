@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -49,6 +50,45 @@ def _norm(norm_type: str, features: int, dtype):
     if norm_type == "group_norm":
         return nn.GroupNorm(num_groups=32, dtype=dtype)
     raise ValueError(norm_type)
+
+
+class StemConv(nn.Module):
+    """The 7x7 stride-2 pad-3 input conv, computed via 2x2 space-to-depth.
+
+    Identical arithmetic to the plain conv (torchvision resnet conv1,
+    reference backbone.py stem): output[y,x] = sum_{dy,dx in -3..3}
+    K[dy,dx] * I[2y+dy, 2x+dx]. Rewriting it as a 4x4 stride-1 conv over the
+    2x2 space-to-depth input lifts the input-channel count 3 -> 12 and lets
+    XLA:TPU skip the H-major relayout + pad + copy chain it emits for raw
+    3-channel convs (~19ms/step of pure data movement at the flagship batch-6
+    832x1344 shape, profiled on v5e). The parameter keeps the torch (7,7,3,F)
+    layout so checkpoints/converters are unaffected; the rearrange below is
+    K4[j,i,(r,c,ch),o] = K7[2j+r-4, 2i+c-4, ch, o] (out-of-range taps are 0),
+    with cell-level padding (2,1) reproducing the pixel-level pad of 3.
+    Exactness is tested against the plain conv in tests/test_model_forward.py.
+    """
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features))
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)  # nn.Conv-style input promotion
+        B, H, W, C = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+        xs = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        k7 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))       # taps -4..3
+        k4 = k7.reshape(4, 2, 4, 2, C, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C,
+                                                    self.features)
+        return jax.lax.conv_general_dilated(
+            xs, k4, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
 
 
 class Bottleneck(nn.Module):
@@ -106,11 +146,14 @@ class ResNet(nn.Module):
             if pad_mask is None:
                 return feat
             fh, fw = feat.shape[1], feat.shape[2]
-            m = downsample_mask(pad_mask, fh, fw)
-            return jnp.where(m[..., None], 0.0, feat).astype(feat.dtype)
+            # Multiply by a {0,1} keep-mask instead of where(pred, 0, x):
+            # the pred tensor materialization + select chains cost ~18ms/step
+            # at flagship shapes (profiled v5e); a bf16 multiply fuses into
+            # the adjacent conv epilogue.
+            keep = 1.0 - downsample_mask(pad_mask, fh, fw).astype(feat.dtype)
+            return feat * keep[..., None]
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = StemConv(64, dtype=self.dtype, name="conv1")(x)
         x = _norm(self.norm_type, 64, self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -153,6 +196,10 @@ def downsample_mask(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     Reference interpolates the float mask (backbone.py:78); nearest sampling at
     feature-cell top-left corners is equivalent for block padding."""
     B, H, W = mask.shape
+    if H % h == 0 and W % w == 0:
+        # Exact-stride canvases (all /32 buckets): a strided slice, not a
+        # gather — gathers of the full-res bool mask cost ~5ms/step profiled.
+        return mask[:, ::H // h, ::W // w]
     ys = (jnp.arange(h) * (H / h)).astype(jnp.int32)
     xs = (jnp.arange(w) * (W / w)).astype(jnp.int32)
     return mask[:, ys][:, :, xs]

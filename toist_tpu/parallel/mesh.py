@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -44,8 +45,17 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """Place every leaf replicated over the mesh, with OWNED buffers.
+
+    device_put may alias the source buffer for the shard already resident on
+    the source device; the train step donates its input state, so an aliased
+    replica would be deleted together with the original. A jitted copy forces
+    fresh buffers. This runs once at startup — the copy is irrelevant to
+    steady-state throughput.
+    """
     rep = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.copy(jnp.asarray(x)), rep), tree)
 
 
 def _zero1_spec(x: Any, n: int, min_size: int) -> P:

@@ -125,7 +125,10 @@ def make_distillation_train_step(model, cfg: Config,
         scalars["loss"] = total
         return total, (scalars, bank)
 
-    @jax.jit
+    import functools
+
+    # Input state donated (aliased in place) — see train/step.py rationale.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batches, rng
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = make_dropout_rng(rng, state.step,

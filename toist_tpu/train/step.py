@@ -107,7 +107,12 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
         scalars["loss"] = total
         return total, (scalars, bank)
 
-    @jax.jit
+    import functools
+
+    # donate_argnums: the input TrainState is consumed, letting XLA alias the
+    # f32 param/moment/EMA buffers in place instead of allocating fresh copies
+    # (~2GB of state at flagship scale) every step.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = make_dropout_rng(rng, state.step,

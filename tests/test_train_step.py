@@ -13,10 +13,13 @@ from toist_tpu.train.optim import make_optimizer
 from toist_tpu.train.step import (init_train_state, make_eval_step,
                                   make_train_step)
 
+# dropout=0: the overfit trajectory should test optimization, not a
+# particular dropout realization (with dropout on, the 160-step box error
+# depends on the PRNG stream and flaps around the assertion threshold).
 CFG = Config(
     model=ModelConfig(backbone="resnet18-test", hidden_dim=64, nheads=4,
                       dim_feedforward=128, enc_layers=2, dec_layers=2,
-                      num_queries=12, compute_dtype="float32",
+                      num_queries=12, compute_dtype="float32", dropout=0.0,
                       contrastive_align_loss=False),
     optim=OptimConfig(lr=2e-3, lr_backbone=2e-3, text_encoder_lr=2e-3,
                       epochs=100, lr_drop=1000, ema=True, ema_decay=0.9,

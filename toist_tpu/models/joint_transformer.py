@@ -16,7 +16,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from toist_tpu.models.layers import FFN, MultiheadAttention
+from toist_tpu.models.layers import FFN, MultiheadAttention, _dropout_u8
 
 
 class EncoderLayer(nn.Module):
@@ -33,11 +33,11 @@ class EncoderLayer(nn.Module):
                                   self.dtype, name="self_attn")(
             q, k, src, key_padding_mask=key_padding_mask,
             deterministic=deterministic)
-        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        src = src + _dropout_u8(self, src2, self.dropout, deterministic)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
         src2 = FFN(self.d_model, self.dim_feedforward, self.dropout,
                    self.dtype, name="ffn")(src, deterministic)
-        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        src = src + _dropout_u8(self, src2, self.dropout, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
 
 
@@ -55,18 +55,18 @@ class DecoderLayer(nn.Module):
         tgt2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
                                   self.dtype, name="self_attn")(
             q, k, tgt, deterministic=deterministic)
-        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = tgt + _dropout_u8(self, tgt2, self.dropout, deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         tgt2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
                                   self.dtype, name="cross_attn_image")(
             tgt + query_pos, memory + pos, memory,
             key_padding_mask=memory_key_padding_mask,
             deterministic=deterministic)
-        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = tgt + _dropout_u8(self, tgt2, self.dropout, deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
         tgt2 = FFN(self.d_model, self.dim_feedforward, self.dropout,
                    self.dtype, name="ffn")(tgt, deterministic)
-        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = tgt + _dropout_u8(self, tgt2, self.dropout, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm4")(tgt)
 
 

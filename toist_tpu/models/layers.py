@@ -17,6 +17,30 @@ NEG_INF = -1e9  # large-negative fill for masked attention logits (finite: keeps
                 # softmax well-defined for fully-masked rows of padded samples)
 
 
+def _dropout_u8(module: nn.Module, x: jnp.ndarray, rate: float,
+                deterministic: bool) -> jnp.ndarray:
+    """Dropout drawing 8 random bits per element instead of 32.
+
+    The attention-probs dropout masks are the largest tensors in the train
+    step ([B, H, S, S] with S~1100); jax.random.bernoulli consumes a uint32
+    per element (~240MB/layer of RNG traffic at flagship shapes). uint8 bits
+    quantize the keep-probability to 1/256 granularity (0.1 -> 26/256 =
+    0.1016, folded into the rescale so E[x] is exact), which is statistically
+    immaterial for dropout but 4x cheaper to generate and move.
+    """
+    if deterministic or rate == 0.0:
+        return x
+    q = int(round(rate * 256.0))
+    if q <= 0:
+        return x
+    import jax
+
+    key = module.make_rng("dropout")
+    keep = jax.random.bits(key, x.shape, dtype=jnp.uint8) >= q
+    scale = jnp.asarray(1.0 / (1.0 - q / 256.0), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
 class MultiheadAttention(nn.Module):
     """q/k/v Linear -> scaled dot-product -> out Linear, with key padding mask."""
     embed_dim: int
@@ -47,7 +71,7 @@ class MultiheadAttention(nn.Module):
             logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF,
                                logits)
         attn = nn.softmax(logits, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = _dropout_u8(self, attn, self.dropout, deterministic)
         out = jnp.einsum("bhqs,bhsd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Q, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
@@ -63,7 +87,7 @@ class FFN(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = _dropout_u8(self, h, self.dropout, deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         return h
 
@@ -94,4 +118,4 @@ class FeatureResizer(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")(x)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="layer_norm")(x)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return _dropout_u8(self, x, self.dropout, deterministic)

@@ -180,7 +180,28 @@ def measure_train():
     loss = float(np.asarray(scalars["loss"]))
     dt = time.time() - t0
     assert np.isfinite(loss), loss
-    return n_iter / dt, BENCH_TRAIN_BATCH * n_iter / dt, flops * n_iter / dt / 1e12
+
+    # Profile-derived op breakdown (device time by HLO category).
+    categories = None
+    try:
+        import shutil
+        import tempfile
+
+        from toist_tpu.utils import xprof
+
+        tdir = tempfile.mkdtemp(prefix="toist_bench_prof_")
+        with jax.profiler.trace(tdir):
+            for _ in range(3):
+                state, scalars = train_step(state, batch, rng)
+            np.asarray(scalars["loss"])
+        summary = xprof.summarize_trace(tdir, iters=3)
+        categories = {name: ms for name, ms, _pct in summary["categories"][:5]}
+        categories["_device_ms_per_iter"] = summary["device_ms_per_iter"]
+        shutil.rmtree(tdir, ignore_errors=True)
+    except Exception:
+        pass
+    return (n_iter / dt, BENCH_TRAIN_BATCH * n_iter / dt,
+            flops * n_iter / dt / 1e12, categories)
 
 
 def measure_torch_cpu() -> float:
@@ -289,7 +310,7 @@ def main():
     baseline = get_baseline()
     peak = _chip_peak_tflops(jax.devices()[0].device_kind)
     eval_img_s, eval_tf_s, comp = measure_eval()
-    train_step_s, train_img_s, train_tf_s = measure_train()
+    train_step_s, train_img_s, train_tf_s, train_ops = measure_train()
     print(json.dumps({
         "metric": "eval_images_per_sec_per_chip",
         "value": round(eval_img_s, 2),
@@ -304,6 +325,7 @@ def main():
         "chip_peak_bf16_tflops": peak,
         "device": jax.devices()[0].device_kind,
         "component_ms": {k: round(v, 2) for k, v in comp.items()},
+        "train_top_op_categories_ms": train_ops,
     }))
 
 

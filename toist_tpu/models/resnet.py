@@ -187,6 +187,15 @@ def make_resnet(name: str, norm_type: str, dilation: bool, dtype,
                 remat: bool = False) -> ResNet:
     sizes = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
              "resnet18-test": (1, 1, 1, 1)}
+    if name.startswith("timm_"):
+        # Reference backbone.py:117-162 wraps arbitrary timm models behind
+        # --backbone timm_<name>. timm is not vendored here (and none of the
+        # TOIST workloads use it); the native families above are the
+        # supported set. Fail loudly rather than silently substituting.
+        raise ValueError(
+            f"timm backbones ({name}) are not available in toist_tpu; "
+            "use resnet50/resnet101 (reference TimmBackbone parity is "
+            "documented as out of scope in COMPONENTS.md)")
     if name not in sizes:
         raise ValueError(f"unknown backbone {name}")
     return ResNet(stage_sizes=sizes[name], norm_type=norm_type,

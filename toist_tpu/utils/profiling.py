@@ -22,6 +22,18 @@ def trace(logdir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+        # Print the device op breakdown right away (the trace is also left on
+        # disk for TensorBoard/XProf). Times are totals over the traced span.
+        try:
+            from toist_tpu.utils import xprof
+            s = xprof.summarize_trace(logdir)
+            print(f"[profile] device total {s['device_ms_per_iter']:.0f}ms; "
+                  "top op categories: " +
+                  ", ".join(f"{n} {ms:.0f}ms ({p}%)"
+                            for n, ms, p in s["categories"][:6]), flush=True)
+        except Exception as e:
+            print(f"[profile] trace written to {logdir} "
+                  f"(summary unavailable: {e})", flush=True)
 
 
 def device_memory_stats() -> dict:

@@ -45,3 +45,17 @@ def test_save_restore_roundtrip(tmp_path):
     params_raw, _ = ckpt.load_params(path, prefer_ema=False)
     np.testing.assert_allclose(np.asarray(params_raw["w"]),
                                np.arange(6.0).reshape(2, 3))
+
+
+def test_async_save_roundtrip(tmp_path):
+    """Background orbax commit: save returns immediately; wait -> restore."""
+    state = TrainState(params={"w": jnp.arange(4.0)},
+                       opt_state={"m": jnp.zeros(2)},
+                       ema_params=None, step=jnp.int32(5))
+    frozen = {"frozen": {}}
+    path = str(tmp_path / "ck_async")
+    ckpt.save(path, state, frozen, epoch=1, async_save=True)
+    ckpt.wait_for_async_saves()
+    s2, _f2, ep = ckpt.restore(path, state, frozen)
+    assert ep == 1 and int(s2.step) == 5
+    np.testing.assert_allclose(np.asarray(s2.params["w"]), np.arange(4.0))

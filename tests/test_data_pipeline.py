@@ -183,3 +183,21 @@ def test_train_bucket_ladder_covers_resize_envelope():
     # Padding waste on that sample stays under 1.3x.
     bh, bw = spec.buckets[bi]
     assert bh * bw / (480 * 640) < 1.3
+
+
+def test_bucket_spec_precedence():
+    """Explicit image_buckets pins BOTH phases; the ladder is the default."""
+    from toist_tpu.config import Config
+    from toist_tpu.main import build_all
+
+    cfg = Config.from_sources(None, {
+        "data": {"image_buckets": [[128, 128]]}})
+    _tok, _model, train_spec, eval_spec = build_all(cfg)
+    assert train_spec.buckets == ((128, 128),)
+    assert eval_spec.buckets == ((128, 128),)
+
+    cfg2 = Config.from_sources(None, {})
+    _tok, _model, train_spec2, eval_spec2 = build_all(cfg2)
+    assert len(train_spec2.buckets) == 8      # the multiscale ladder
+    assert (480, 800) in train_spec2.buckets
+    assert eval_spec2.buckets == ((800, 1344), (1344, 800))

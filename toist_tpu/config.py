@@ -182,6 +182,9 @@ class RunConfig:
     # backend but not bitwise-stable across backends/compiler versions; set
     # "threefry2x32" for exact cross-platform reproducibility.
     dropout_rng_impl: str = "rbg"
+    # Background (async) orbax checkpoint commits: the epoch loop hands the
+    # ~2GB state to orbax's writer thread instead of blocking on disk.
+    async_checkpoint: bool = True
 
 
 @dataclass(frozen=True)

@@ -69,9 +69,16 @@ def build_all(cfg: Config, image_set_for_eval: str = "val"):
     eval_spec = BucketSpec(
         buckets=cfg.data.image_buckets if cfg.data.image_buckets else
         default_buckets(cfg.data.max_size, 800), **common)
-    train_spec = BucketSpec(
-        buckets=cfg.data.train_image_buckets if cfg.data.train_image_buckets
-        else train_buckets(cfg.data.max_size, cfg.data.train_scales), **common)
+    # Train canvas precedence: explicit train_image_buckets > explicit
+    # image_buckets (a user pinning canvases pins BOTH phases) > the
+    # multiscale ladder.
+    if cfg.data.train_image_buckets:
+        tb = cfg.data.train_image_buckets
+    elif cfg.data.image_buckets:
+        tb = cfg.data.image_buckets
+    else:
+        tb = train_buckets(cfg.data.max_size, cfg.data.train_scales)
+    train_spec = BucketSpec(buckets=tb, **common)
     return tokenizer, model, train_spec, eval_spec
 
 
@@ -245,14 +252,17 @@ def main(cfg: Config) -> Optional[float]:
                      "seconds": time.time() - t0, **train_stats})
         if cfg.run.output_dir and jax.process_index() == 0:
             ckpt.save(os.path.join(cfg.run.output_dir, "checkpoint"),
-                      jax.device_get(state), jax.device_get(frozen), epoch)
+                      jax.device_get(state), jax.device_get(frozen), epoch,
+                      async_save=cfg.run.async_checkpoint)
         if epoch % cfg.optim.eval_skip == 0:
             params = state.ema_params if cfg.optim.ema else state.params
             m = run_eval(params)
             if m > best_map and cfg.run.output_dir and jax.process_index() == 0:
                 best_map = m
                 ckpt.save(os.path.join(cfg.run.output_dir, "BEST_checkpoint"),
-                          jax.device_get(state), jax.device_get(frozen), epoch)
+                          jax.device_get(state), jax.device_get(frozen),
+                          epoch, async_save=cfg.run.async_checkpoint)
+    ckpt.wait_for_async_saves()
     return best_map
 
 

@@ -21,10 +21,36 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save(path: str, state: TrainState, frozen: Any, epoch: int) -> None:
-    """Atomic full-state save (rank 0 writes under multihost orbax)."""
+_ASYNC: "ocp.AsyncCheckpointer | None" = None
+
+
+def _async_ckptr():
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def save(path: str, state: TrainState, frozen: Any, epoch: int,
+         async_save: bool = False) -> None:
+    """Atomic full-state save (rank 0 writes under multihost orbax).
+
+    async_save=True hands serialization to orbax's background thread so the
+    next epoch starts immediately (the write of the ~2GB flagship state
+    otherwise blocks the step loop); a later save/close waits for the
+    previous one (orbax enforces one outstanding commit)."""
     payload = {"state": state, "frozen": frozen, "epoch": epoch}
-    _ckptr().save(os.path.abspath(path), payload, force=True)
+    if async_save:
+        _async_ckptr().save(os.path.abspath(path), payload, force=True)
+    else:
+        _ckptr().save(os.path.abspath(path), payload, force=True)
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async save has committed (call before
+    reading the checkpoint back or at process exit)."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def restore(path: str, template_state: TrainState,

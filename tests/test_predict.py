@@ -52,3 +52,34 @@ def test_predictor_batched_inference():
     predictor.score_threshold = 1.1
     dets2 = predictor(imgs[:1], task_ids=[1])
     assert dets2[0]["scores"].size == 0
+
+
+@pytest.mark.slow
+def test_predictor_with_masks():
+    cfg = Config.from_sources(None, {
+        "model": {"backbone": "resnet18-test", "hidden_dim": 128, "nheads": 8,
+                  "dim_feedforward": 128, "enc_layers": 1, "dec_layers": 1,
+                  "num_queries": 6, "compute_dtype": "float32",
+                  "contrastive_align_loss": False, "mask_model": "smallconv",
+                  "masks": True, "backbone_norm": "group_norm",
+                  "text_hidden": 64, "text_layers": 1, "text_heads": 4,
+                  "text_intermediate": 128},
+        "data": {"image_buckets": [[96, 128]], "max_text_len": 32,
+                 "max_boxes": 8, "max_size": 128, "val_size": 96},
+    })
+    tokenizer = RobertaBPE.train(
+        [t + "something" for t in TASKS.values()], vocab_size=512)
+    model = build_model(cfg.model, text_vocab_size=tokenizer.vocab_size)
+    import __graft_entry__
+    b = __graft_entry__._example_batch(B=1, H=96, W=128, T=32, N=8,
+                                      n_text_ids=tokenizer.vocab_size - 1)
+    variables = init_variables(model, b, seed=0)
+    params, frozen = split_variables(variables)
+    predictor = Predictor(model, params, frozen, tokenizer, cfg)
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(rng.integers(0, 255, (80, 100, 3), np.uint8))
+    dets = predictor([img], task_ids=[5])
+    assert "masks" in dets[0] and len(dets[0]["masks"]) == 6
+    from toist_tpu.ops import rle as rle_ops
+    m = rle_ops.decode(dets[0]["masks"][0])
+    assert m.shape == (80, 100)

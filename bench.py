@@ -75,7 +75,10 @@ def measure_eval():
     model = build_model(cfg, text_vocab_size=50265)
     batch = __graft_entry__._example_batch(B=BENCH_EVAL_BATCH, H=BENCH_H,
                                            W=BENCH_W)
-    variables = init_variables(model, batch, seed=0)
+    # Init at a tiny spatial size: parameter shapes are independent of H/W/B,
+    # and the full-resolution init trace costs ~90s of compile on the tunnel.
+    init_batch = __graft_entry__._example_batch(B=1, H=64, W=64)
+    variables = init_variables(model, init_batch, seed=0)
 
     @jax.jit
     def eval_fwd(variables, images, chain, image_mask, text_ids, text_mask,
@@ -161,14 +164,21 @@ def measure_train():
                                            W=TRAIN_W, N=25)
     optimizer = make_optimizer(cfg.optim, steps_per_epoch=100,
                                total_steps=1000)
-    state, frozen = init_train_state(model, cfg, optimizer, batch, seed=0)
+    # Tiny-spatial init (param shapes don't depend on H/W/B; see measure_eval).
+    init_batch = __graft_entry__._example_batch(B=1, H=64, W=64, N=25)
+    state, frozen = init_train_state(model, cfg, optimizer, init_batch,
+                                     seed=0)
     wd = build_weight_dict(cfg.loss, masks=False,
                            num_dec_layers=cfg.model.dec_layers)
     train_step = make_train_step(model, cfg, wd, optimizer, frozen)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.PRNGKey(0)
 
-    lowered = jax.jit(train_step).lower(state, batch, rng)
+    # train_step is already jitted (make_train_step) — lower THAT function so
+    # the cost-analysis compile and the execution share one executable
+    # (wrapping it in another jax.jit compiled the step twice, ~230s each on
+    # the tunnel).
+    lowered = train_step.lower(state, batch, rng)
     flops = _flops_of(lowered.compile())
     state, scalars = train_step(state, batch, rng)   # warmup/compile
     np.asarray(scalars["loss"])

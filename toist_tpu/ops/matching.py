@@ -74,15 +74,16 @@ def hungarian_match(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     cost_t = jnp.take_along_axis(
         jnp.swapaxes(cost, 1, 2), order[:, :, None], axis=1)          # [B, T, Q]
     # Padded target rows get zero cost rows (ignored by solver via n_rows).
-    # Backend: measured on v5e at the flagship train shape (L6xB6 Q100 T25,
-    # scripts/bench_matching.py): pallas 2.30ms vs xla 2.46ms -> the
-    # VMEM-resident Pallas kernel (ops/lsa_pallas.py, bitwise-identical) is
-    # the default on TPU; the vmapped XLA solver elsewhere (pallas TPU
-    # lowering is TPU-only). TOIST_LSA_BACKEND={pallas,xla} overrides.
+    # Backend decision, measured on v5e at the flagship train shape (L6xB6
+    # Q100 T25, scripts/bench_matching.py): the VMEM-resident Pallas kernel
+    # (ops/lsa_pallas.py, bitwise-identical) runs 2.30ms vs 2.46ms for the
+    # vmapped XLA solver — but its Mosaic lowering adds ~245s of host-side
+    # trace time to EVERY train-step compile (measured: train_step.lower()
+    # 279s with pallas vs 34s with xla), which at 0.16ms/step saved only
+    # amortizes past ~1.5M steps. XLA is therefore the default;
+    # TOIST_LSA_BACKEND=pallas opts in for long runs.
     import os
-    backend = os.environ.get("TOIST_LSA_BACKEND")
-    if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    backend = os.environ.get("TOIST_LSA_BACKEND", "xla")
     if backend == "pallas":
         from toist_tpu.ops.lsa_pallas import solve_lsa_batch_pallas
         assigned = solve_lsa_batch_pallas(cost_t, n_valid)            # [B, T]

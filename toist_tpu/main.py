@@ -142,8 +142,10 @@ def main(cfg: Config) -> Optional[float]:
     weight_dict = build_weight_dict(cfg.loss, cfg.model.masks,
                                     cfg.model.dec_layers)
 
-    # A minimal sample batch for shape-complete init.
-    sample = _dummy_batch(eval_spec, cfg.optim.train_batch_size)
+    # A minimal sample batch for shape-complete init on a tiny canvas (a
+    # full-canvas init trace costs ~90s of compile for no benefit).
+    sample = _dummy_batch(eval_spec, cfg.optim.train_batch_size,
+                          init_hw=(64, 64))
     state, frozen = init_train_state(model, cfg, optimizer, sample,
                                      seed=cfg.run.seed)
     if cfg.run.pretrained_backbone or cfg.run.pretrained_text:
@@ -266,8 +268,12 @@ def main(cfg: Config) -> Optional[float]:
     return best_map
 
 
-def _dummy_batch(spec: BucketSpec, batch_size: int) -> Dict[str, np.ndarray]:
-    bh, bw = spec.buckets[0]
+def _dummy_batch(spec: BucketSpec, batch_size: int,
+                 init_hw: Optional[tuple] = None) -> Dict[str, np.ndarray]:
+    # init_hw overrides the canvas: model PARAMETER shapes are independent of
+    # H/W/batch, so initialization traces at a tiny canvas compile ~10x
+    # faster than the full 832x1344 one (real bucket shapes compile lazily).
+    bh, bw = init_hw if init_hw is not None else spec.buckets[0]
     B, N, T, L = batch_size, spec.max_boxes, spec.max_text_len, \
         spec.num_logit_cols
     batch = {

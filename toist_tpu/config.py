@@ -64,6 +64,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"      # activations/matmul dtype on TPU
     param_dtype: str = "float32"
     remat: bool = False
+    # Fused (flash-style) Pallas attention for the joint encoder self-attn and
+    # decoder cross-attn (ops/flash_attention.py). "auto" = on for TPU
+    # backends, off on CPU (Mosaic kernels don't compile there); "interpret"
+    # runs the kernel in the Pallas interpreter (CPU testing).
+    fused_attention: str = "auto"        # auto | on | off | interpret
 
 
 @dataclass(frozen=True)
@@ -185,6 +190,15 @@ class RunConfig:
     # Background (async) orbax checkpoint commits: the epoch loop hands the
     # ~2GB state to orbax's writer thread instead of blocking on disk.
     async_checkpoint: bool = True
+    # Persistent XLA compilation cache directory ('' = ~/.cache/toist_tpu/
+    # xla_cache; env TOIST_COMPILE_CACHE=off disables). Amortizes the train
+    # ladder's per-bucket compiles across runs (utils/compile_cache.py).
+    compile_cache_dir: str = ""
+    # Eval-time losses: the reference computes the full criterion (incl. a
+    # 6-level Hungarian solve) per eval batch purely for loss logging
+    # (engine.py:300-305). False skips it — a serving-style fast path with
+    # identical predictions/metrics, only the eval loss meters disappear.
+    compute_eval_losses: bool = True
 
 
 @dataclass(frozen=True)

@@ -80,12 +80,23 @@ def train_buckets(max_size: int = 1333,
     Compile-count budget: 8 canvases => at most 8 train-step compilations per
     process (~30s each on TPU, paid once per run; XLA caches by shape).
     Typical padding waste drops from ~3.6x to <=1.3x on 4:3 inputs.
+
+    The top rung is derived from max(scales): with the default 480..800
+    multiscale range it is (832, long_cap) as before; raising train_scales
+    past 832 grows the top rung so resized samples always fit a bucket
+    (BatchIterator silently skips samples that fit no bucket, so an
+    undersized ladder would shrink the training set without warning).
     """
     long_cap = _round_up(max_size, 32)
+    # Post-resize bound: short side <= min(max(scales), max_size).
+    top_short = min(max(832, _round_up(max(scales), 32)), long_cap)
     ladder = []
-    for s, l in ((480, 800), (608, 1008), (736, 1216), (832, long_cap)):
-        ladder.append((s, l))
-        ladder.append((l, s))
+    for s, l in ((480, 800), (608, 1008), (736, 1216)):
+        if s < top_short:
+            ladder.append((s, min(l, long_cap)))
+            ladder.append((min(l, long_cap), s))
+    ladder.append((top_short, long_cap))
+    ladder.append((long_cap, top_short))
     return tuple(ladder)
 
 

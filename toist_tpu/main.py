@@ -110,6 +110,8 @@ def git_sha() -> str:
 
 def main(cfg: Config) -> Optional[float]:
     maybe_init_distributed()
+    from toist_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(cfg.run.compile_cache_dir)
     print(f"toist_tpu git sha: {git_sha()}", flush=True)
     mesh = mesh_lib.make_mesh(cfg.run.mesh_shape, cfg.run.mesh_axes)
     tokenizer, model, train_spec, eval_spec = build_all(cfg)
@@ -126,7 +128,6 @@ def main(cfg: Config) -> Optional[float]:
                 for t in cfg.data.tasks}
 
     train_iter = None
-    steps_per_epoch = 100
     if train_sets:
         train_iter = BatchIterator(
             train_sets, train_spec, batch_size=cfg.optim.train_batch_size,
@@ -134,6 +135,13 @@ def main(cfg: Config) -> Optional[float]:
             shard_id=jax.process_index(), num_shards=jax.process_count(),
             paired=cfg.loss.distillation, num_workers=cfg.data.num_workers)
         steps_per_epoch = max(1, len(train_iter))
+    elif cfg.run.eval_only:
+        steps_per_epoch = 1  # LR schedules are never consulted in eval-only
+    else:
+        raise ValueError(
+            "train mode with no train datasets: set data.tasks (or run with "
+            "--eval); a placeholder steps_per_epoch would silently misshape "
+            "the LR schedules")
     total_steps = steps_per_epoch * cfg.optim.epochs
 
     optimizer = make_optimizer(cfg.optim, steps_per_epoch, total_steps,

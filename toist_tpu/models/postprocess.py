@@ -156,8 +156,12 @@ def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
     OH, OW = max_out_hw
     assert OW % 8 == 0
     orig_sizes = np.asarray(orig_sizes)
-    if (orig_sizes.max(initial=0) > max(OH, OW)) or not hasattr(
-            pred_masks, "devices"):
+    # Per-axis guard: with a non-square canvas, an image taller than OH (even
+    # if < OW) cannot be written into the [OH, OW] output.
+    oversized = (orig_sizes.size > 0
+                 and ((orig_sizes[:, 0] > OH).any()
+                      or (orig_sizes[:, 1] > OW).any()))
+    if oversized or not hasattr(pred_masks, "devices"):
         return postprocess_masks_host(np.asarray(pred_masks), sizes,
                                       orig_sizes, sample_valid, mask_stride,
                                       threshold)

@@ -301,8 +301,9 @@ void poly_to_mask(const double* xy, int k, int h, int w, uint8_t* mask) {
 //
 // The tokenizer object is created from vocab (token -> id, newline-separated
 // "token\tid") and merges ("left right" per line, rank = line order). Encoding
-// follows GPT-2/RoBERTa byte-level BPE over an ASCII-scope pre-tokenizer
-// (letter runs with leading space, digit runs, punctuation, contractions) and
+// follows GPT-2/RoBERTa byte-level BPE over a Unicode-aware pre-tokenizer
+// (letter/number runs classified via the generated L/N category tables in
+// unicode_tables.inc, punctuation, contractions, leading space) and
 // returns per-token ids plus [start,end) character offsets with leading
 // whitespace trimmed (RoBERTa's trim_offsets=True behavior), so that
 // char_to_token(space) misses, matching the reference's probing fallbacks

@@ -49,13 +49,17 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
 
     device_put may alias the source buffer for the shard already resident on
     the source device; the train step donates its input state, so an aliased
-    replica would be deleted together with the original. A jitted copy forces
-    fresh buffers. This runs once at startup — the copy is irrelevant to
-    steady-state throughput.
+    replica would be deleted together with the original. Copying under ONE
+    jit forces fresh buffers for the whole tree in a single dispatch —
+    per-leaf eager jnp.copy costs ~0.5s/op on the tunneled platform, which
+    over a flagship TrainState's hundreds of leaves would add minutes at
+    startup.
     """
     rep = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.copy(jnp.asarray(x)), rep), tree)
+    tree = jax.tree_util.tree_map(jnp.asarray, tree)
+    return jax.jit(
+        lambda t: jax.tree_util.tree_map(jnp.copy, t),
+        out_shardings=rep)(tree)
 
 
 def _zero1_spec(x: Any, n: int, min_size: int) -> P:

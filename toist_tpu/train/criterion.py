@@ -379,9 +379,11 @@ def build_weight_dict(cfg: LossConfig, masks: bool,
                       num_dec_layers: int = 6) -> Dict[str, float]:
     """Reference models/mdetr.py:1067-1103 weight registry."""
     wd = {"loss_ce": cfg.ce_loss_coef, "loss_bbox": cfg.bbox_loss_coef,
-          "loss_giou": cfg.giou_loss_coef}
-    if True:  # contrastive handled by caller presence of the loss key
-        wd["loss_contrastive_align"] = cfg.contrastive_align_loss_coef
+          "loss_giou": cfg.giou_loss_coef,
+          # Always registered; total_loss only sums keys the criterion
+          # actually emitted, so the weight is inert when the contrastive
+          # head is off (mdetr.py:1071-1074).
+          "loss_contrastive_align": cfg.contrastive_align_loss_coef}
     if masks:
         wd["loss_mask"] = cfg.mask_loss_coef
         wd["loss_dice"] = cfg.dice_loss_coef

@@ -49,6 +49,9 @@ def train_one_epoch(train_step: Callable, state, batch_iter: BatchIterator,
                 jsonl.write({"kind": "train_step", "epoch": epoch,
                              "step": int(state.step), **host, **vecs})
         i += 1
+    # Global (cross-host) epoch stats, incl. iter_time/data_time — the epoch
+    # jsonl record carries the data-wait evidence (util/metrics.py:34-46).
+    logger.synchronize_between_processes()
     return state, logger.summary()
 
 
@@ -65,11 +68,19 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
             # unpacks bits and RLE-encodes (postprocess.py).
             return postprocess_masks_device(res["pred_masks"], b["size"],
                                             b["orig_size"], b["sample_valid"])
+    import jax
+
     results = {}
     for task_id, ds in task_datasets.items():
         gts = gt_records_from_json(ds.coco.dataset)
         evaluator = TaskEvaluator(gts, iou_types=iou_types)
-        it = BatchIterator([ds], spec, batch_size=batch_size, shuffle=False)
+        # Shard the val set across hosts (reference DistributedSampler on
+        # dataset_val, main.py:439) so eval time scales with hosts; the
+        # per-image-ownership merge in synchronize_between_processes stays as
+        # the correctness net for any duplicated tail batches.
+        it = BatchIterator([ds], spec, batch_size=batch_size, shuffle=False,
+                           shard_id=jax.process_index(),
+                           num_shards=jax.process_count())
         logger = MetricLogger(print_freq=print_freq,
                               header=f"Eval task {task_id}:")
         def _with_np(iterator):
@@ -95,7 +106,9 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
             evaluator.update(np_batch["image_id"], post["scores"],
                              post["boxes"], valid=np_batch["sample_valid"],
                              masks=masks)
-            logger.update(loss=float(np.asarray(res["scalars"]["loss"])))
+            if "loss" in res["scalars"]:  # absent with compute_eval_losses off
+                logger.update(loss=float(np.asarray(res["scalars"]["loss"])))
+        logger.synchronize_between_processes()
         evaluator.synchronize_between_processes()
         results[task_id] = evaluator.summarize()
         ap50 = results[task_id]["bbox"][1]

@@ -142,18 +142,26 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
 def make_eval_step(model, cfg: Config, weight_dict: Dict[str, float],
                    frozen: Dict, with_masks: bool = False) -> Callable:
     """Forward + postprocess (reference engine.py:253-342 body, minus the
-    evaluator update which is host-side)."""
+    evaluator update which is host-side).
+
+    run.compute_eval_losses=False skips the criterion (incl. its 6-level
+    Hungarian solve) — the reference always pays it just for loss logging
+    (engine.py:300-305); predictions and COCO metrics are unaffected."""
 
     @jax.jit
     def eval_step(params, batch):
         out, cache = model_forward(model, params, frozen, batch,
                                    deterministic=True)
-        losses = crit.set_criterion(out, batch, cfg.loss)
-        losses.pop("_tgt2query")
+        if cfg.run.compute_eval_losses:
+            losses = crit.set_criterion(out, batch, cfg.loss)
+            losses.pop("_tgt2query")
+            scalars = {k: v for k, v in losses.items()
+                       if not k.startswith("_")}
+            scalars["loss"] = crit.total_loss(losses, weight_dict)
+        else:
+            scalars = {}
         post = postprocess_boxes(out["pred_logits"], out["pred_boxes"],
                                  batch["orig_size"])
-        scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
-        scalars["loss"] = crit.total_loss(losses, weight_dict)
         result = {"post": post, "scalars": scalars}
         if with_masks:
             result["pred_masks"] = model.apply(

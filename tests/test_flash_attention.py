@@ -1,0 +1,158 @@
+"""Fused (flash) attention kernel: parity vs the unfused reference math.
+
+The unfused einsum path in models/layers.MultiheadAttention is the semantics
+oracle (itself parity-tested against torch nn.MultiheadAttention in
+test_reference_parity.py); the Pallas kernel must match it on forward and
+gradients, handle padded/masked keys identically, and implement the
+_dropout_u8 keep-probability quantization in-kernel.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toist_tpu.ops.flash_attention import fused_attention
+
+B, D, H = 2, 64, 4
+HD = D // H
+
+
+def _unfused(q, k, v, mask):
+    b, sq, _ = q.shape
+    s = k.shape[1]
+    qh = q.reshape(b, sq, H, HD).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, H, HD).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, H, HD).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhsd->bhqs", qh, kh,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(
+                            jnp.float32(HD))
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], -1e9, logits)
+    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqs,bhsd->bhqd", attn, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, D).astype(q.dtype)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize("sq,s", [(300, 300), (100, 300)])
+def test_forward_parity(sq, s):
+    rng = np.random.default_rng(0)
+    q, k, v = _rand(rng, B, sq, D), _rand(rng, B, s, D), _rand(rng, B, s, D)
+    mask = jnp.asarray(rng.random((B, s)) < 0.2)
+    ref = _unfused(q, k, v, mask)
+    got = fused_attention(q, k, v, mask, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_forward_no_mask():
+    rng = np.random.default_rng(1)
+    q, k, v = (_rand(rng, B, 300, D) for _ in range(3))
+    ref = _unfused(q, k, v, None)
+    got = fused_attention(q, k, v, None, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_fully_masked_rows_finite():
+    """A fully-padded sample (every key masked) must stay finite and match
+    the unfused path's uniform-softmax behavior."""
+    rng = np.random.default_rng(2)
+    q, k, v = (_rand(rng, B, 300, D) for _ in range(3))
+    mask = jnp.ones((B, 300), bool)
+    ref = _unfused(q, k, v, mask)
+    got = fused_attention(q, k, v, mask, H, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_gradient_parity():
+    rng = np.random.default_rng(3)
+    q, k, v = (_rand(rng, B, 300, D) for _ in range(3))
+    mask = jnp.asarray(rng.random((B, 300)) < 0.2)
+    w = _rand(rng, B, 300, D)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_unfused(*a, mask) * w),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(
+        lambda *a: jnp.sum(fused_attention(*a, mask, H, interpret=True) * w),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-6)
+
+
+def test_bf16_parity():
+    rng = np.random.default_rng(4)
+    q, k, v = (_rand(rng, B, 300, D).astype(jnp.bfloat16) for _ in range(3))
+    mask = jnp.asarray(rng.random((B, 300)) < 0.2)
+    ref = _unfused(q, k, v, mask).astype(jnp.float32)
+    got = fused_attention(q, k, v, mask, H, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_dropout_semantics():
+    """In-kernel dropout (TPU-interpret mode): deterministic per seed, grads
+    finite and structurally consistent.
+
+    NB: the interpret-mode TPU PRNG returns all-zero bits (every element
+    dropped), so distribution checks (keep rate, unbiasedness, seed
+    sensitivity) can only run on real hardware — they are covered by
+    scripts/verify_flash_tpu.py on the real chip and its recorded result in
+    COMPONENTS.md. Here we verify the plumbing: the masked forward/backward
+    execute, repeat deterministically, and the all-dropped limit is exactly
+    zero output with zero gradient (the mask multiplies both paths)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    q, k, v = (_rand(rng, B, 300, D) for _ in range(3))
+    seed = jnp.asarray([7], jnp.int32)
+    kw = dict(dropout_rate=0.3, deterministic=False)
+    with pltpu.force_tpu_interpret_mode():
+        out1 = fused_attention(q, k, v, None, H, seed=seed, **kw)
+        out2 = fused_attention(q, k, v, None, H, seed=seed, **kw)
+        base = fused_attention(q, k, v, None, H)
+        g = jax.grad(lambda x: jnp.sum(fused_attention(
+            x, k, v, None, H, seed=seed, **kw) ** 2))(q)
+    assert bool(jnp.all(out1 == out2)), "same seed must reproduce"
+    assert np.isfinite(np.asarray(g)).all()
+    degenerate_prng = bool(jnp.all(out1 == 0.0))
+    if degenerate_prng:
+        # All-dropped limit: output and dq exactly zero — confirms the mask
+        # gates forward AND backward consistently.
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+    else:  # real-PRNG backend: check unbiasedness too
+        ratio = float(jnp.mean(jnp.abs(out1)) / jnp.mean(jnp.abs(base)))
+        assert 0.7 < ratio < 1.4, ratio
+
+
+def test_module_fused_matches_unfused():
+    """MultiheadAttention(fused='interpret') == fused='off' with shared
+    params (deterministic)."""
+    from toist_tpu.models.layers import MultiheadAttention
+
+    rng = np.random.default_rng(6)
+    x = _rand(rng, B, 300, D)
+    mem = _rand(rng, B, 300, D)
+    mask = jnp.asarray(rng.random((B, 300)) < 0.2)
+    m_off = MultiheadAttention(D, H, 0.1, jnp.float32, "off")
+    m_int = MultiheadAttention(D, H, 0.1, jnp.float32, "interpret")
+    params = m_off.init(jax.random.PRNGKey(0), x, mem, mem,
+                        key_padding_mask=mask)
+    a = m_off.apply(params, x, mem, mem, key_padding_mask=mask)
+    b = m_int.apply(params, x, mem, mem, key_padding_mask=mask)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_short_kv_stays_unfused():
+    """Below FUSED_MIN_KV the module must use the einsum path (no pallas)."""
+    from toist_tpu.models.layers import FUSED_MIN_KV, MultiheadAttention
+
+    rng = np.random.default_rng(7)
+    x = _rand(rng, B, 100, D)
+    assert 100 < FUSED_MIN_KV
+    m = MultiheadAttention(D, H, 0.0, jnp.float32, "on")  # "on" would need TPU
+    params = m.init(jax.random.PRNGKey(0), x, x, x)
+    out = m.apply(params, x, x, x)   # would crash if it hit Mosaic on CPU
+    assert out.shape == x.shape

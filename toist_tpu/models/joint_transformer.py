@@ -25,12 +25,13 @@ class EncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask, deterministic=True):
         q = k = src + pos
         src2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
-                                  self.dtype, name="self_attn")(
+                                  self.dtype, self.fused, name="self_attn")(
             q, k, src, key_padding_mask=key_padding_mask,
             deterministic=deterministic)
         src = src + _dropout_u8(self, src2, self.dropout, deterministic)
@@ -47,6 +48,7 @@ class DecoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, pos, memory_key_padding_mask,
@@ -58,7 +60,8 @@ class DecoderLayer(nn.Module):
         tgt = tgt + _dropout_u8(self, tgt2, self.dropout, deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         tgt2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
-                                  self.dtype, name="cross_attn_image")(
+                                  self.dtype, self.fused,
+                                  name="cross_attn_image")(
             tgt + query_pos, memory + pos, memory,
             key_padding_mask=memory_key_padding_mask,
             deterministic=deterministic)
@@ -78,6 +81,7 @@ class JointEncoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     remat: bool = False
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask, deterministic=True):
@@ -85,7 +89,7 @@ class JointEncoder(nn.Module):
             if self.remat else EncoderLayer
         for i in range(self.num_layers):
             src = layer_cls(self.d_model, self.nhead, self.dim_feedforward,
-                            self.dropout, self.dtype,
+                            self.dropout, self.dtype, self.fused,
                             name=f"layer_{i}")(src, pos, key_padding_mask,
                                                deterministic)
         return src
@@ -100,6 +104,7 @@ class QueryDecoder(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, pos, memory_key_padding_mask,
@@ -108,7 +113,8 @@ class QueryDecoder(nn.Module):
         intermediate = []
         for i in range(self.num_layers):
             tgt = DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
-                               self.dropout, self.dtype, name=f"layer_{i}")(
+                               self.dropout, self.dtype, self.fused,
+                               name=f"layer_{i}")(
                 tgt, memory, query_pos, pos, memory_key_padding_mask,
                 deterministic)
             intermediate.append(norm(tgt))

@@ -30,7 +30,9 @@ def _dropout_u8(module: nn.Module, x: jnp.ndarray, rate: float,
     """
     if deterministic or rate == 0.0:
         return x
-    q = int(round(rate * 256.0))
+    # Clamp to 255: q=256 would wrap the uint8 compare literal to 0 (keeping
+    # everything) and make the rescale 1/(1-1) = inf.
+    q = min(int(round(rate * 256.0)), 255)
     if q <= 0:
         return x
     import jax
@@ -41,12 +43,23 @@ def _dropout_u8(module: nn.Module, x: jnp.ndarray, rate: float,
     return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
 
 
+# Minimum key length for the fused kernel: shorter sequences (the decoder's
+# 100-query self-attention) pad to a full 256 tile for no HBM win.
+FUSED_MIN_KV = 256
+
+
 class MultiheadAttention(nn.Module):
-    """q/k/v Linear -> scaled dot-product -> out Linear, with key padding mask."""
+    """q/k/v Linear -> scaled dot-product -> out Linear, with key padding mask.
+
+    fused="on"/"interpret" routes the scaled-dot-product core through the
+    Pallas flash kernel (ops/flash_attention.py): no [B,H,Q,S] probability
+    tensor in HBM, dropout drawn in-kernel. The unfused einsum path is the
+    reference semantics oracle (torch nn.MultiheadAttention parity)."""
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused: str = "off"   # off | on | interpret (interpret = CPU testing mode)
 
     @nn.compact
     def __call__(self, query, key, value,
@@ -61,6 +74,19 @@ class MultiheadAttention(nn.Module):
         v = dense("v_proj")(value)
         B, Q, _ = q.shape
         S = k.shape[1]
+        if self.fused != "off" and S >= FUSED_MIN_KV:
+            from toist_tpu.ops.flash_attention import fused_attention
+            seed = None
+            if not deterministic and self.dropout > 0.0:
+                import jax
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (1,),
+                    dtype=jnp.uint32).astype(jnp.int32)
+            out = fused_attention(
+                q, k, v, key_padding_mask, H, dropout_rate=self.dropout,
+                deterministic=deterministic, seed=seed,
+                interpret=(self.fused == "interpret"))
+            return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
         q = q.reshape(B, Q, H, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)

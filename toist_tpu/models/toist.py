@@ -64,12 +64,17 @@ class TOIST(nn.Module):
                 cfg.hidden_dim // 2, dtype=dt, name="learned_pos")
         self.resizer = FeatureResizer(cfg.hidden_dim, dropout=0.1, dtype=dt,
                                       name="resizer")
+        fused = cfg.fused_attention
+        if fused == "auto":
+            import jax
+            fused = "off" if jax.default_backend() == "cpu" else "on"
         self.encoder = JointEncoder(cfg.hidden_dim, cfg.nheads, cfg.enc_layers,
                                     cfg.dim_feedforward, cfg.dropout, dt,
-                                    remat=cfg.remat, name="encoder")
+                                    remat=cfg.remat, fused=fused,
+                                    name="encoder")
         self.decoder = QueryDecoder(cfg.hidden_dim, cfg.nheads, cfg.dec_layers,
                                     cfg.dim_feedforward, cfg.dropout, dt,
-                                    name="decoder")
+                                    fused=fused, name="decoder")
         self.query_embed = self.param(
             "query_embed", nn.initializers.normal(1.0),
             (cfg.num_queries, cfg.hidden_dim))

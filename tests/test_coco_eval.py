@@ -133,5 +133,142 @@ def test_task_evaluator_roundtrip():
     # Duplicate update for the same image id is ignored.
     ev.update(np.array([1]), scores, boxes, valid=np.array([True]))
     stats = ev.summarize()
-    np.testing.assert_allclose(stats["bbox"][1], 1.0)
-    assert mean_ap50({1: stats}) == 1.0
+    np.testing.assert_allclose(stats["bbox"][1], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(mean_ap50({1: stats}), 1.0, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial tie-break / boundary fixtures (VERDICT r2 weak #5): the cases
+# where COCOeval reimplementations silently lose 0.1-0.3 mAP. pycocotools is
+# not in the image, so these assert hand-derived values and invariances that
+# pin the documented semantics (stable mergesort ordering, searchsorted
+# side='left' at exact recall thresholds, ignore interactions).
+# ---------------------------------------------------------------------------
+
+
+def _g2(img, x=0, y=0, w=10, h=10, crowd=0, gid=None, area=None):
+    g = {"image_id": img, "category_id": 1, "bbox": [x, y, w, h],
+         "area": float(w * h if area is None else area), "iscrowd": crowd}
+    if gid is not None:
+        g["id"] = gid
+    return g
+
+
+def _d2(img, score, x=0, y=0, w=10, h=10):
+    return {"image_id": img, "category_id": 1, "bbox": [x, y, w, h],
+            "score": score}
+
+
+def test_tied_scores_stable_under_record_permutation():
+    """Many detections with IDENTICAL scores across images: the global
+    accumulate sort is stable in canonical image order (pycocotools
+    mergesort over sorted imgIds), so reordering records ACROSS images must
+    not change any stat. (Within-image order of equal-score detections is
+    load-bearing in pycocotools too — the stable per-image sort and the
+    maxDets truncation keep first-listed ties — so the permutation here
+    preserves each image's own record order, like shuffling file order.)"""
+    gts, dts = [], []
+    gid = 100
+    for img in range(1, 9):
+        gts.append(_g2(img, x=0, gid=gid)); gid += 1
+        gts.append(_g2(img, x=30, gid=gid)); gid += 1
+        # One TP on the first gt, one FP, all at the SAME score 0.5.
+        dts.append(_d2(img, 0.5, x=0))
+        dts.append(_d2(img, 0.5, x=100))
+        dts.append(_d2(img, 0.25, x=30))  # TP on the second gt
+    base = COCOEval(gts, dts).stats()
+    for order in ([8, 7, 6, 5, 4, 3, 2, 1], [3, 1, 4, 2, 8, 6, 7, 5]):
+        go = [g for img in order for g in gts if g["image_id"] == img]
+        do = [d for img in order for d in dts if d["image_id"] == img]
+        s = COCOEval(go, do).stats()
+        np.testing.assert_allclose(s, base, atol=1e-12)
+
+
+def test_tied_scores_hand_computed_ap50():
+    """2 images, 1 gt each; per image one TP and one FP, all 4 dts at score
+    0.5. Stable image-order concatenation gives the TP/FP interleaving
+    [TP, FP, TP, FP] -> precision at the two recall points 1/1 and 3/4...
+    actually cum: tp=[1,1,2,2], fp=[0,1,1,2] -> pr=[1,.5,2/3,.5],
+    rc=[.5,.5,1,1]. Envelope from right: pr=[1,2/3,2/3,.5]. searchsorted
+    left on rc for thr<=0.5 -> idx0 (pr 1.0), 0.5<thr<=1 -> idx2 (2/3).
+    AP50 = (51*1.0 + 50*2/3)/101."""
+    gts = [_g2(1), _g2(2)]
+    dts = [_d2(1, 0.5, x=0), _d2(1, 0.5, x=100),
+           _d2(2, 0.5, x=0), _d2(2, 0.5, x=100)]
+    stats = COCOEval(gts, dts).stats()
+    expect = (51 * 1.0 + 50 * (2.0 / 3.0)) / 101
+    np.testing.assert_allclose(stats[1], expect, atol=1e-9)
+
+
+def test_det_count_equals_gt_count_boundary():
+    """Exactly as many detections as gts, all matched: AP=1, recall=1 at
+    every threshold below the IoU of the boxes (here IoU=1.0)."""
+    gts = [_g2(i) for i in range(1, 6)]
+    dts = [_d2(i, 0.9 - 0.1 * i) for i in range(1, 6)]
+    stats = COCOEval(gts, dts).stats()
+    np.testing.assert_allclose(stats[[0, 1, 8]], 1.0, rtol=1e-12)
+
+
+def test_all_ignored_images_do_not_contribute():
+    """Images whose every gt is crowd/out-of-range contribute no npig; with
+    ALL images ignored the category has no valid precision (-1 stats)."""
+    gts = [_g2(1, crowd=1), _g2(2, crowd=1)]
+    dts = [_d2(1, 0.9), _d2(2, 0.8)]
+    stats = COCOEval(gts, dts).stats()
+    assert stats[0] == -1.0 and stats[1] == -1.0
+    # Mixed: an all-crowd image alongside a real one: the crowd image's
+    # detections match the crowd (ignored), so only the real image counts.
+    gts2 = [_g2(1, crowd=1), _g2(2)]
+    dts2 = [_d2(1, 0.9), _d2(2, 0.8)]
+    stats2 = COCOEval(gts2, dts2).stats()
+    np.testing.assert_allclose(stats2[1], 1.0, rtol=1e-12)
+
+
+def test_exact_recall_threshold_hit():
+    """Recall hitting a threshold EXACTLY: searchsorted(side='left') must
+    include that point. 4 gts in one image, 2 TPs (recall 0.25, 0.5): at
+    rec_thr==0.5 the precision must be pr[idx of rc==0.5], not 0."""
+    gts = [_g2(1, x=30 * i) for i in range(4)]
+    dts = [_d2(1, 0.9, x=0), _d2(1, 0.8, x=30)]
+    ev = COCOEval(gts, dts)
+    ev.run()
+    # T=0 (IoU .5), area all, maxdet 100
+    pr_curve = ev.eval["precision"][0, :, 0, 0, 2]
+    rec_thrs = ev.p.rec_thrs
+    # thresholds 0.0..0.5 inclusive get precision 1.0; > 0.5 get -1... those
+    # beyond max recall keep the init value 0 per pycocotools (q stays 0).
+    assert (pr_curve[rec_thrs <= 0.5] == 1.0).all()
+    assert (pr_curve[rec_thrs > 0.5] == 0.0).all()
+    stats = ev.stats()
+    np.testing.assert_allclose(stats[1], 51 / 101, atol=1e-12)
+
+
+def test_gt_ignore_reordering_interaction():
+    """Ignored gts sort AFTER real gts (stable): a detection overlapping both
+    a real gt and an ignored gt must match the real one even when the
+    ignored gt has higher IoU, because real gts are preferred."""
+    # gt A real at x=0 w=10; gt B (out of area range for 'small'? use crowd)
+    gts = [_g2(1, x=0, w=10, h=10, crowd=1, gid=7),   # ignored (crowd)
+           _g2(1, x=2, w=10, h=10, gid=8)]            # real, lower IoU
+    dts = [_d2(1, 0.9, x=0, w=10, h=10)]              # IoU 1.0 vs crowd
+    ev = COCOEval(gts, dts)
+    ev.run()
+    e = ev.evaluate_img(1, 1, ev.p.area_rngs[0], 100,
+                        ev._compute_iou(1, 1, 100))
+    # matched to the REAL gt (id 8) at IoU thresholds it clears (~0.67)
+    assert e["dt_matches"][0, 0] == 8
+    stats = ev.stats()
+    np.testing.assert_allclose(stats[1], 1.0, rtol=1e-12)
+
+
+def test_score_sort_stability_within_image():
+    """Within one image, equal-score detections keep their input order
+    (stable sort): the FIRST listed one wins the only gt."""
+    gts = [_g2(1, gid=3)]
+    # Two detections, same score; first has LOWER IoU but still >0.5.
+    dts = [_d2(1, 0.7, x=3), _d2(1, 0.7, x=0)]
+    ev = COCOEval(gts, dts)
+    e = ev.evaluate_img(1, 1, ev.p.area_rngs[0], 100,
+                        ev._compute_iou(1, 1, 100))
+    assert e["dt_matches"][0, 0] == 3          # first dt matched at IoU .5
+    assert e["dt_matches"][0, 1] == 0          # second left unmatched

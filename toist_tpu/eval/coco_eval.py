@@ -214,7 +214,9 @@ class COCOEval:
                         tp, fp = tp_sum[t], fp_sum[t]
                         nd = len(tp)
                         rc = tp / npig
-                        pr = tp / np.maximum(fp + tp, np.spacing(1))
+                        # Exactly pycocotools' guard: ADD spacing(1), never
+                        # clamp — tied-to-the-last-ulp parity on pr values.
+                        pr = tp / (fp + tp + np.spacing(1))
                         recall[t, k, a, m] = rc[-1] if nd else 0
                         # Precision envelope (monotone from the right).
                         q = np.zeros(R)

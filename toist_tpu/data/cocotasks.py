@@ -208,7 +208,9 @@ class CocoTasksDataset:
     def _load_image(self, image_id: int) -> Image.Image:
         info = self.coco.imgs[image_id]
         path = os.path.join(self.img_dir, info["file_name"])
-        return Image.open(path).convert("RGB")
+        img = Image.open(path)
+        # convert("RGB") on an already-RGB JPEG is a full-frame copy; skip it.
+        return img if img.mode == "RGB" else img.convert("RGB")
 
     def _make(self, image, anns, image_id, gt_obj: int,
               rng: np.random.Generator) -> dict:

@@ -213,21 +213,3 @@ def test_stem_conv_space_to_depth_exact():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(got_odd), np.asarray(want_odd),
                                atol=1e-5, rtol=1e-5)
-
-
-def test_max_pool_slice_tree_matches_reduce_window():
-    """max_pool_3x3_s2 (slice/max tree) must be bit-identical forward to
-    nn.max_pool's reduce_window, odd and even spatial sizes."""
-    import flax.linen as nn
-    import jax.numpy as jnp
-
-    from toist_tpu.models.resnet import max_pool_3x3_s2
-
-    rng = np.random.default_rng(0)
-    for h, w in ((16, 16), (17, 19), (32, 8)):
-        x = jnp.asarray(rng.standard_normal((2, h, w, 5)), jnp.float32)
-        ref = nn.max_pool(x, (3, 3), strides=(2, 2),
-                          padding=[(1, 1), (1, 1)])
-        got = max_pool_3x3_s2(x)
-        assert got.shape == ref.shape, (got.shape, ref.shape)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -94,39 +94,6 @@ class StemConv(nn.Module):
             xs, k4, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
 
 
-def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 stride-2 pad-1 max pool as a 9-way strided-slice max tree.
-
-    Bit-identical forward to nn.max_pool/lax.reduce_window (tested). The win
-    is the BACKWARD and layouts: reduce_window's gradient lowers to
-    select-and-scatter, for which XLA:TPU picks an H-major layout that
-    disagrees with the surrounding convs — at the flagship batch-6 832x1344
-    shape that costs ~2.3ms of select-and-scatter plus ~6ms of pure layout
-    copies per train step (profiled v5e, r3). The slice/max formulation keeps
-    conv layouts end to end; its gradient is fused compares/pads.
-
-    Subgradient note: at exact ties inside a window (common: post-relu
-    zeros), reduce_window routes the incoming gradient to the first maximal
-    element in scan order while jnp.maximum's VJP picks its own argument
-    order — both are valid subgradients of the same (identical) forward; the
-    reference's cudnn maxpool makes yet another arbitrary choice
-    (torchvision resnet, reference backbone.py stem).
-    """
-    B, H, W, C = x.shape
-    neg = jnp.asarray(-jnp.inf, x.dtype)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
-    Ho, Wo = (H + 1) // 2, (W + 1) // 2
-    out = None
-    for dy in range(3):
-        for dx in range(3):
-            s = jax.lax.slice(xp, (0, dy, dx, 0),
-                              (B, dy + 2 * (Ho - 1) + 1,
-                               dx + 2 * (Wo - 1) + 1, C),
-                              (1, 2, 2, 1))
-            out = s if out is None else jnp.maximum(out, s)
-    return out
-
-
 class Bottleneck(nn.Module):
     features: int           # bottleneck width; output = features * 4
     strides: int = 1
@@ -192,7 +159,7 @@ class ResNet(nn.Module):
         x = StemConv(64, dtype=self.dtype, name="conv1")(x)
         x = _norm(self.norm_type, 64, self.dtype)(x)
         x = nn.relu(x)
-        x = max_pool_3x3_s2(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         x = apply_mask(x)
         feats = {}
         widths = (64, 128, 256, 512)

@@ -553,3 +553,148 @@ def test_postprocess_parity(ref):
                                    want[b]["boxes"].numpy(), atol=1e-3)
         np.testing.assert_array_equal(np.asarray(got["labels"][b]),
                                       want[b]["labels"].numpy())
+
+
+def test_full_model_forward_parity(ref):
+    """End-to-end seam test (VERDICT r2 #6): reference MDETR.forward
+    (two-phase, backbone stubbed with a fixed feature tensor — torchvision is
+    absent; transformer + heads + contrastive projections real) vs
+    TOIST.encode/decode with the reference's weights through utils/convert.
+
+    Catches seam wiring per-stack tests cannot: resizer placement, HW
+    flatten order, image/text concat order, pos-embed padding, text-slice
+    indexing, per-layer head application (reference models/mdetr.py:377-462,
+    models/transformer.py:86-188). Tolerance 2e-3: pure f32 accumulation
+    skew between torch-oneDNN and XLA matmul orders (observed max 4.5e-4);
+    a wiring bug shows as O(1) disagreement.
+    """
+    import dataclasses
+
+    from toist_tpu.config import ModelConfig
+    from toist_tpu.models.position_encoding import sine_position_embedding
+    from toist_tpu.models.resnet import downsample_mask
+    from toist_tpu.models.toist import build_model
+    from toist_tpu.utils.convert import convert_torch_state_dict
+
+    rng = np.random.default_rng(0)
+    B, H, W, T, D = 2, 96, 128, 8, 64
+    images = rng.standard_normal((B, H, W, 3)).astype(np.float32)
+    image_mask = np.zeros((B, H, W), bool)
+    image_mask[1, :, 96:] = True          # sample 1: right quarter is padding
+    text_ids = np.full((B, T), 1, np.int64)
+    text_ids[:, 0] = 0
+    text_ids[:, 1:6] = rng.integers(4, 30000, (B, 5))
+    text_mask = np.zeros((B, T), bool)
+    text_mask[1, 6:] = True               # sample 1: 2 pad tokens
+
+    # --- our model (f32 compute so tolerances are tight) ---
+    cfg = ModelConfig(backbone="resnet18-test", hidden_dim=D, nheads=4,
+                      dim_feedforward=128, enc_layers=2, dec_layers=2,
+                      num_queries=10, contrastive_align_loss=True,
+                      contrastive_hdim=16, compute_dtype="float32",
+                      fused_attention="off")
+    model = build_model(cfg, text_vocab_size=50265, tiny_text=True)
+    init = jax.jit(lambda r, *a: model.init(r, *a))(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(image_mask),
+        jnp.asarray(text_ids.astype(np.int32)), jnp.asarray(text_mask))
+    our_params = init["params"]
+    frozen = {k: v for k, v in init.items() if k != "params"}
+
+    # Shared backbone features: OUR backbone output, handed to the reference
+    # as its (stubbed) backbone's return value. fh/fw = H/32, W/32.
+    feats = jax.jit(lambda v, x, m: model.apply(
+        v, x, pad_mask=m, method=lambda mm, xx, pad_mask: mm.backbone(
+            xx, pad_mask=pad_mask)))(init, jnp.asarray(images),
+                                     jnp.asarray(image_mask))
+    layer4 = np.asarray(feats["layer4"])              # [B, fh, fw, 2048]
+    fh, fw = layer4.shape[1:3]
+    fmask = np.asarray(downsample_mask(jnp.asarray(image_mask), fh, fw))
+    pos = np.asarray(sine_position_embedding(jnp.asarray(fmask), D // 2,
+                                             dtype=jnp.float32))
+
+    # --- reference model with stubbed backbone + tiny random RoBERTa ---
+    import transformers
+
+    class FakeBatch(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+        def to(self, device):
+            return self
+
+    class FakeTokenizer:
+        def batch_encode_plus(self, texts, padding=None, return_tensors=None):
+            return FakeBatch(
+                input_ids=_t(text_ids),
+                attention_mask=_t((~text_mask).astype(np.int64)))
+
+    real_config = transformers.RobertaConfig
+    ref.transformer.RobertaConfig = lambda **kw: real_config(
+        hidden_size=D, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, max_position_embeddings=514, **kw)
+    ref.transformer.RobertaTokenizerFast = types.SimpleNamespace(
+        from_pretrained=lambda name: FakeTokenizer())
+    try:
+        args = types.SimpleNamespace(without_pretrain=True, cluster=False)
+        tr = ref.transformer.Transformer(
+            args=args, d_model=D, nhead=4, num_encoder_layers=2,
+            num_decoder_layers=2, dim_feedforward=128, dropout=0.1,
+            return_intermediate_dec=True, contrastive_loss=False)
+    finally:
+        ref.transformer.RobertaConfig = real_config
+
+    class FakeBackbone(torch.nn.Module):
+        num_channels = 2048
+
+        def forward(self, samples):
+            src = _t(np.moveaxis(layer4, -1, 1)).float()
+            p = _t(np.moveaxis(pos, -1, 1)).float()
+            return [ref.misc.NestedTensor(src, _t(fmask))], [p]
+
+    ref_model = ref.mdetr.MDETR(
+        FakeBackbone(), tr, num_classes=255, num_queries=10, aux_loss=True,
+        contrastive_hdim=16, contrastive_align_loss=True, args=args)
+    ref_model.eval()
+
+    # --- weights: reference -> ours (backbone keys absent, overlay) ---
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    conv_params, _conv_frozen = convert_torch_state_dict(
+        sd, d_model=D, enc_layers=2, dec_layers=2)
+    merged = dict(our_params)
+    merged.update(conv_params)
+
+    out, cache = jax.jit(
+        lambda v, *a: model.apply(v, *a, deterministic=True))(
+        {"params": merged, **frozen}, jnp.asarray(images),
+        jnp.asarray(image_mask), jnp.asarray(text_ids.astype(np.int32)),
+        jnp.asarray(text_mask))
+
+    with torch.no_grad():
+        samples = ref.misc.NestedTensor(
+            _t(np.moveaxis(images, -1, 1)).float(), _t(image_mask))
+        mc = ref_model(samples, ["a", "b"], encode_and_save=True)
+        ref_out = ref_model(samples, ["a", "b"], encode_and_save=False,
+                            memory_cache=mc)
+
+    # encoder memory: [S, B, D] seq-first in the reference
+    np.testing.assert_allclose(
+        np.asarray(cache["img_memory"]),
+        mc["img_memory"].numpy().transpose(1, 0, 2), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(cache["text_memory"]),
+        mc["text_memory"].numpy().transpose(1, 0, 2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["pred_logits"]),
+                               ref_out["pred_logits"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["pred_boxes"]),
+                               ref_out["pred_boxes"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["proj_queries"]),
+                               ref_out["proj_queries"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["proj_tokens"]),
+                               ref_out["proj_tokens"].numpy(), atol=2e-3)
+    for i, aux in enumerate(ref_out["aux_outputs"]):
+        np.testing.assert_allclose(np.asarray(out["aux_pred_logits"][i]),
+                                   aux["pred_logits"].numpy(), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out["aux_pred_boxes"][i]),
+                                   aux["pred_boxes"].numpy(), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out["aux_proj_queries"][i]),
+                                   aux["proj_queries"].numpy(), atol=2e-3)

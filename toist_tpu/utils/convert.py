@@ -84,6 +84,11 @@ def _hf_attention(sd, key):
 
 def _resnet(sd, frozen, params, stage_sizes):
     base = "backbone.0.body"
+    if f"{base}.conv1.weight" not in sd:
+        # Backbone-less state dict (e.g. a model whose backbone is external /
+        # stubbed): leave the target's backbone params untouched so callers
+        # can overlay the converted transformer+heads onto a fresh init.
+        return
     params["backbone"] = {"conv1": _conv(sd, f"{base}.conv1")}
     frozen["backbone"] = {"FrozenBN_0": _frozen_bn(sd, f"{base}.bn1")}
     for s, blocks in enumerate(stage_sizes, start=1):

@@ -25,6 +25,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from toist_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import __graft_entry__
     from toist_tpu.config import Config, ModelConfig, OptimConfig
     from toist_tpu.models.toist import build_model

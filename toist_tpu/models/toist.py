@@ -67,7 +67,13 @@ class TOIST(nn.Module):
         fused = cfg.fused_attention
         if fused == "auto":
             import jax
-            fused = "off" if jax.default_backend() == "cpu" else "on"
+
+            # On for single-chip TPU processes. Multi-device: a bare
+            # pallas_call inside pjit has no SPMD partitioning rule, so the
+            # batch-sharded train step would gather/replicate around it;
+            # wrap it in shard_map (per-shard B) before forcing "on" there.
+            fused = ("on" if jax.default_backend() != "cpu"
+                     and jax.device_count() == 1 else "off")
         self.encoder = JointEncoder(cfg.hidden_dim, cfg.nheads, cfg.enc_layers,
                                     cfg.dim_feedforward, cfg.dropout, dt,
                                     remat=cfg.remat, fused=fused,

@@ -166,3 +166,26 @@ def test_bpe_deterministic():
     a = RobertaBPE.train(CAPTIONS, vocab_size=350)
     b = RobertaBPE.train(CAPTIONS, vocab_size=350)
     assert a.vocab == b.vocab and a.merges == b.merges
+
+
+def test_rle_encode_packed_cm_matches_plain_encode():
+    """Column-major packed encode == plain encode on random masks, including
+    crops from a padded canvas and non-multiple-of-8 heights."""
+    from toist_tpu.ops import rle as rle_ops
+
+    rng = np.random.default_rng(0)
+    for oh, ow, canvas_h in ((64, 48, 64), (37, 23, 64), (8, 8, 16),
+                             (100, 7, 104)):
+        mask = (rng.random((oh, ow)) < 0.3).astype(np.uint8)
+        want = rle_ops.encode(mask)
+        # Pack the way the device does: column-major, canvas-padded, MSB-first.
+        canvas = np.zeros((canvas_h, ow), np.uint8)
+        canvas[:oh] = mask
+        packed = np.packbits(canvas.T, axis=-1)  # [ow, canvas_h/8]
+        got = rle_ops.encode_packed_cm(packed, oh, ow)
+        assert got == want, (oh, ow)
+    # Degenerate: all-zero and all-one masks.
+    for fill in (0, 1):
+        mask = np.full((32, 16), fill, np.uint8)
+        packed = np.packbits(mask.T, axis=-1)
+        assert rle_ops.encode_packed_cm(packed, 32, 16) == rle_ops.encode(mask)

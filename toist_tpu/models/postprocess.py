@@ -125,14 +125,19 @@ def _device_resize_threshold(pred_masks, Wy, Wx, logit_thr: float):
     m = pred_masks.astype(jnp.float32)
     rows = jnp.einsum("boh,bqhw->bqow", Wy, m,
                       precision=jax.lax.Precision.HIGHEST)
-    full = jnp.einsum("bqow,bwp->bqop", rows, Wx,
+    # Second matmul emits COLUMN-major ("bqpo": x before y): column-major bit
+    # order is COCO's Fortran RLE stream, so the host can run-length encode
+    # the packed bytes directly (native rle_encode_packed_cm) with no
+    # unpackbits/transpose — that host stage was 2.2s/batch at the seg-eval
+    # setting (batch 4 x 100 query masks), vs ~40ms of device time.
+    full = jnp.einsum("bqow,bwp->bqpo", rows, Wx,
                       precision=jax.lax.Precision.HIGHEST)
     bits = (full > logit_thr).astype(jnp.uint8)
-    B, Q, OH, OW = bits.shape
+    B, Q, OW, OH = bits.shape
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-    packed = jnp.einsum("bqoxk,k->bqox",
-                        bits.reshape(B, Q, OH, OW // 8, 8), weights)
-    return packed  # uint8 [B, Q, OH, OW/8], MSB-first (np.unpackbits order)
+    packed = jnp.einsum("bqxok,k->bqxo",
+                        bits.reshape(B, Q, OW, OH // 8, 8), weights)
+    return packed  # uint8 [B, Q, OW, OH/8]: column-major, MSB-first
 
 
 _DEVICE_RESIZE_JIT = None
@@ -154,7 +159,7 @@ def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
     from toist_tpu.ops import rle as rle_ops
 
     OH, OW = max_out_hw
-    assert OW % 8 == 0
+    assert OH % 8 == 0
     orig_sizes = np.asarray(orig_sizes)
     # Per-axis guard: with a non-square canvas, an image taller than OH (even
     # if < OW) cannot be written into the [OH, OW] output.
@@ -193,6 +198,6 @@ def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
             out.append(None)
             continue
         oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
-        full = np.unpackbits(packed[b], axis=-1)[:, :oh, :ow]
-        out.append([rle_ops.encode(full[q]) for q in range(Q)])
+        out.append([rle_ops.encode_packed_cm(packed[b, q], oh, ow)
+                    for q in range(Q)])
     return out

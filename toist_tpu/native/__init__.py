@@ -49,6 +49,9 @@ def load() -> ctypes.CDLL:
 
         lib.rle_encode.restype = ctypes.c_int
         lib.rle_encode.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u32p]
+        lib.rle_encode_packed_cm.restype = ctypes.c_int
+        lib.rle_encode_packed_cm.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                             ctypes.c_int, u32p]
         lib.rle_decode.restype = None
         lib.rle_decode.argtypes = [u32p, ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int, u8p]

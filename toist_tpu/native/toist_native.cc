@@ -111,6 +111,51 @@ int rle_encode(const uint8_t* mask, int h, int w, uint32_t* counts) {
   return m;
 }
 
+// Encode a column-major BIT-PACKED mask -> counts. The device mask
+// postprocess (models/postprocess.py) emits masks as [n_cols, col_bytes]
+// with 8 rows per byte, MSB-first (np.unpackbits order), columns padded to
+// the canvas height; col_stride is the byte stride between columns and oh
+// the number of valid bits per column. Column-major bit order IS COCO's
+// Fortran-order RLE stream, so runs are accumulated straight off the packed
+// bytes (0x00/0xFF fast paths) with no unpack or transpose — the host cost
+// that dominated segmentation eval otherwise (2.2s/batch measured, r3).
+extern "C" int rle_encode_packed_cm(const uint8_t* base, int col_stride,
+                                    int oh, int ow, uint32_t* counts) {
+  int m = 0;
+  uint8_t cur = 0;
+  uint32_t run = 0;
+  const int full_bytes = oh >> 3, tail = oh & 7;
+  for (int x = 0; x < ow; ++x) {
+    const uint8_t* col = base + (size_t)x * col_stride;
+    for (int i = 0; i < full_bytes; ++i) {
+      uint8_t b = col[i];
+      if (b == 0) {
+        if (cur == 0) run += 8;
+        else { counts[m++] = run; cur = 0; run = 8; }
+      } else if (b == 0xFF) {
+        if (cur == 1) run += 8;
+        else { counts[m++] = run; cur = 1; run = 8; }
+      } else {
+        for (int k = 7; k >= 0; --k) {
+          uint8_t bit = (b >> k) & 1;
+          if (bit == cur) ++run;
+          else { counts[m++] = run; cur = bit; run = 1; }
+        }
+      }
+    }
+    if (tail) {
+      uint8_t b = col[full_bytes];
+      for (int k = 7; k > 7 - tail; --k) {
+        uint8_t bit = (b >> k) & 1;
+        if (bit == cur) ++run;
+        else { counts[m++] = run; cur = bit; run = 1; }
+      }
+    }
+  }
+  counts[m++] = run;
+  return m;
+}
+
 // Decode counts -> binary mask (caller zeroes/allocates h*w bytes).
 void rle_decode(const uint32_t* counts, int m, int h, int w, uint8_t* mask) {
   int64_t k = 0, n = (int64_t)h * w;

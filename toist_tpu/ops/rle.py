@@ -38,6 +38,24 @@ def encode(mask: np.ndarray) -> dict:
     return {"size": [int(h), int(w)], "counts": s.value}
 
 
+def encode_packed_cm(packed: np.ndarray, oh: int, ow: int) -> dict:
+    """Column-major bit-packed mask [n_cols, col_bytes] (8 rows/byte,
+    MSB-first; columns padded to the canvas height) -> RLE dict for the
+    (oh, ow) crop. The packed layout comes straight off the device
+    (models/postprocess._device_resize_threshold); no unpackbits/transpose.
+    """
+    packed = np.ascontiguousarray(packed, np.uint8)
+    n_cols, col_bytes = packed.shape
+    assert ow <= n_cols and oh <= col_bytes * 8, (oh, ow, packed.shape)
+    counts = np.empty(oh * ow + 1, np.uint32)
+    n = _lib().rle_encode_packed_cm(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), col_bytes,
+        oh, ow, _as_u32p(counts))
+    s = ctypes.create_string_buffer(int(n) * 7 + 1)
+    _lib().rle_to_string(_as_u32p(counts), n, s)
+    return {"size": [int(oh), int(ow)], "counts": s.value}
+
+
 def decode(rle: dict) -> np.ndarray:
     """RLE dict -> binary mask [H, W] uint8."""
     h, w = rle["size"]

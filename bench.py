@@ -438,6 +438,11 @@ def measure_pipeline(num_workers: int = 4, n_images: int = 240):
         shutil.move(tmp, cache)
         open(marker, "w").close()
     tokenizer = RobertaBPE.train(fixture_captions(), vocab_size=512)
+    # Warm the page cache so the first measured variant doesn't pay cold
+    # disk reads the second one skips (~12MB of JPEGs).
+    import glob as _glob
+    for f in _glob.glob(os.path.join(cache, "train2014", "*.jpg")):
+        open(f, "rb").read()
     dcfg = DataConfig(coco_path=cache,
                       refexp_ann_path=os.path.join(cache, "annotations"))
     out = {"num_workers": num_workers, "n_images": n_images,
@@ -606,21 +611,34 @@ def run_stage(stage: str):
     print(json.dumps(out))
 
 
-def _run_substage(stage: str, timeout: int = 1500):
+def _run_substage(stage: str, timeout: int = 3000, retries: int = 1):
     """Run one stage in a child process; returns its parsed JSON or an error
-    marker. The parent never initializes the TPU backend."""
+    marker (with the child's stderr tail). The parent never initializes the
+    TPU backend."""
     import subprocess
     import sys
 
     me = os.path.abspath(__file__)
-    try:
-        r = subprocess.run([sys.executable, me, "--stage", stage],
-                           capture_output=True, text=True, timeout=timeout)
-        line = [ln for ln in r.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        return json.loads(line)
-    except Exception as e:
-        return {"error": f"{type(e).__name__}: {e}"[:300]}
+    err = {}
+    for _ in range(retries + 1):
+        try:
+            r = subprocess.run([sys.executable, me, "--stage", stage],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+            line = [ln for ln in r.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            return json.loads(line)
+        except subprocess.TimeoutExpired:
+            err = {"error": f"stage {stage} timed out after {timeout}s"}
+        except Exception as e:
+            tail = ""
+            try:
+                tail = (r.stderr or "").strip().splitlines()[-3:]
+            except Exception:
+                pass
+            err = {"error": f"{type(e).__name__}: {e}"[:200],
+                   "stderr_tail": tail}
+    return err
 
 
 def main():
@@ -631,18 +649,30 @@ def main():
         return
     baseline = get_baseline()
     # All five BASELINE.json workloads (VERDICT r2 weak #2), one process each.
-    dete = _run_substage("dete")
-    matrix = {stage: _run_substage(stage)
+    stage_secs = {}
+
+    def timed(stage):
+        t0 = time.time()
+        out = _run_substage(stage)
+        stage_secs[stage] = round(time.time() - t0, 1)
+        print(f"[bench] stage {stage}: {stage_secs[stage]}s", file=sys.stderr,
+              flush=True)
+        return out
+
+    dete = timed("dete")
+    matrix = {stage: timed(stage)
               for stage in ("seg_train", "seg_eval", "dis_train")}
+    matrix["stage_wall_seconds"] = stage_secs
     pipeline = measure_pipeline()
     eval_img_s = dete.get("eval_images_per_sec", 0.0)
     train_img_s = dete.get("train_imgs_per_sec", 0.0)
     # Feed ratios > 1 mean the host pipeline outruns the chip (VERDICT r2
     # missing #1): the step is compute-bound, not input-bound.
-    pipeline["feed_ratio_vs_train"] = round(
-        pipeline["host_imgs_per_sec_detection"] / max(train_img_s, 1e-9), 2)
-    pipeline["feed_ratio_vs_eval"] = round(
-        pipeline["host_imgs_per_sec_detection"] / max(eval_img_s, 1e-9), 2)
+    host_det = pipeline["host_imgs_per_sec_detection"]
+    pipeline["feed_ratio_vs_train"] = (
+        round(host_det / train_img_s, 2) if train_img_s else None)
+    pipeline["feed_ratio_vs_eval"] = (
+        round(host_det / eval_img_s, 2) if eval_img_s else None)
     out = {
         "metric": "eval_images_per_sec_per_chip",
         "value": eval_img_s,

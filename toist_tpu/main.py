@@ -54,14 +54,17 @@ def build_tokenizer(cfg: Config) -> RobertaBPE:
     return RobertaBPE.train(corpus, vocab_size=2048)
 
 
-def build_all(cfg: Config, image_set_for_eval: str = "val"):
+def build_all(cfg: Config, image_set_for_eval: str = "val", mesh=None):
     """Returns (tokenizer, model, train_spec, eval_spec).
 
     Eval uses the two-canvas 832x1344 spec (fixed short-side-800 resize);
     training uses the finer 8-canvas ladder so multiscale samples don't pad to
-    the full eval canvas (batcher.train_buckets)."""
+    the full eval canvas (batcher.train_buckets). `mesh` (the data-parallel
+    mesh) lets the fused attention kernel run per-shard on multi-device
+    topologies (models/toist.py setup)."""
     tokenizer = build_tokenizer(cfg)
-    model = build_model(cfg.model, text_vocab_size=tokenizer.vocab_size)
+    model = build_model(cfg.model, text_vocab_size=tokenizer.vocab_size,
+                        mesh=mesh)
     common = dict(max_text_len=cfg.data.max_text_len,
                   max_boxes=cfg.data.max_boxes,
                   num_logit_cols=cfg.data.num_logit_cols,
@@ -114,7 +117,7 @@ def main(cfg: Config) -> Optional[float]:
     enable_persistent_cache(cfg.run.compile_cache_dir)
     print(f"toist_tpu git sha: {git_sha()}", flush=True)
     mesh = mesh_lib.make_mesh(cfg.run.mesh_shape, cfg.run.mesh_axes)
-    tokenizer, model, train_spec, eval_spec = build_all(cfg)
+    tokenizer, model, train_spec, eval_spec = build_all(cfg, mesh=mesh)
     jsonl = JsonlLogger(cfg.run.output_dir)
 
     train_sets = []

@@ -26,12 +26,14 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     fused: str = "off"
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask, deterministic=True):
         q = k = src + pos
         src2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
-                                  self.dtype, self.fused, name="self_attn")(
+                                  self.dtype, self.fused, self.mesh,
+                                  name="self_attn")(
             q, k, src, key_padding_mask=key_padding_mask,
             deterministic=deterministic)
         src = src + _dropout_u8(self, src2, self.dropout, deterministic)
@@ -49,6 +51,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     fused: str = "off"
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, pos, memory_key_padding_mask,
@@ -60,7 +63,7 @@ class DecoderLayer(nn.Module):
         tgt = tgt + _dropout_u8(self, tgt2, self.dropout, deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         tgt2 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
-                                  self.dtype, self.fused,
+                                  self.dtype, self.fused, self.mesh,
                                   name="cross_attn_image")(
             tgt + query_pos, memory + pos, memory,
             key_padding_mask=memory_key_padding_mask,
@@ -82,6 +85,7 @@ class JointEncoder(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     fused: str = "off"
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask, deterministic=True):
@@ -89,7 +93,7 @@ class JointEncoder(nn.Module):
             if self.remat else EncoderLayer
         for i in range(self.num_layers):
             src = layer_cls(self.d_model, self.nhead, self.dim_feedforward,
-                            self.dropout, self.dtype, self.fused,
+                            self.dropout, self.dtype, self.fused, self.mesh,
                             name=f"layer_{i}")(src, pos, key_padding_mask,
                                                deterministic)
         return src
@@ -105,6 +109,7 @@ class QueryDecoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     fused: str = "off"
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, pos, memory_key_padding_mask,
@@ -114,7 +119,7 @@ class QueryDecoder(nn.Module):
         for i in range(self.num_layers):
             tgt = DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
                                self.dropout, self.dtype, self.fused,
-                               name=f"layer_{i}")(
+                               self.mesh, name=f"layer_{i}")(
                 tgt, memory, query_pos, pos, memory_key_padding_mask,
                 deterministic)
             intermediate.append(norm(tgt))

@@ -60,6 +60,8 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     fused: str = "off"   # off | on | interpret (interpret = CPU testing mode)
+    mesh: Any = None     # data-parallel Mesh: fused kernel runs per-shard
+                         # under shard_map (ops/flash_attention.fused_attention)
 
     @nn.compact
     def __call__(self, query, key, value,
@@ -85,7 +87,7 @@ class MultiheadAttention(nn.Module):
             out = fused_attention(
                 q, k, v, key_padding_mask, H, dropout_rate=self.dropout,
                 deterministic=deterministic, seed=seed,
-                interpret=(self.fused == "interpret"))
+                interpret=(self.fused == "interpret"), mesh=self.mesh)
             return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
         q = q.reshape(B, Q, H, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)

@@ -37,6 +37,10 @@ class TOIST(nn.Module):
     text_heads: int = 12
     text_intermediate: int = 3072
     backbone_norm: str = "frozen_bn"
+    # Optional data-parallel jax.sharding.Mesh: lets the fused attention
+    # kernel run per-shard under shard_map on multi-device meshes (a bare
+    # pallas_call has no SPMD rule). None on single-chip.
+    mesh: Any = None
 
     @property
     def compute_dtype(self):
@@ -68,19 +72,24 @@ class TOIST(nn.Module):
         if fused == "auto":
             import jax
 
-            # On for single-chip TPU processes. Multi-device: a bare
-            # pallas_call inside pjit has no SPMD partitioning rule, so the
-            # batch-sharded train step would gather/replicate around it;
-            # wrap it in shard_map (per-shard B) before forcing "on" there.
+            # On for any TPU process: single-chip directly, multi-device via
+            # the shard_map wrapper in ops/flash_attention (the kernel runs
+            # per-shard on the local batch; requires the mesh to be threaded
+            # in through build_model so the module knows the data axis).
+            # Multi-device WITHOUT a mesh stays off — a bare pallas_call
+            # inside pjit has no SPMD partitioning rule and XLA would
+            # gather/replicate the operands around it.
             fused = ("on" if jax.default_backend() != "cpu"
-                     and jax.device_count() == 1 else "off")
+                     and (jax.device_count() == 1 or self.mesh is not None)
+                     else "off")
         self.encoder = JointEncoder(cfg.hidden_dim, cfg.nheads, cfg.enc_layers,
                                     cfg.dim_feedforward, cfg.dropout, dt,
                                     remat=cfg.remat, fused=fused,
-                                    name="encoder")
+                                    mesh=self.mesh, name="encoder")
         self.decoder = QueryDecoder(cfg.hidden_dim, cfg.nheads, cfg.dec_layers,
                                     cfg.dim_feedforward, cfg.dropout, dt,
-                                    fused=fused, name="decoder")
+                                    fused=fused, mesh=self.mesh,
+                                    name="decoder")
         self.query_embed = self.param(
             "query_embed", nn.initializers.normal(1.0),
             (cfg.num_queries, cfg.hidden_dim))
@@ -265,12 +274,13 @@ class TOIST(nn.Module):
 
 
 def build_model(cfg: ModelConfig, text_vocab_size: int = 50265,
-                tiny_text: bool = False, backbone_norm: Optional[str] = None) -> TOIST:
+                tiny_text: bool = False, backbone_norm: Optional[str] = None,
+                mesh: Any = None) -> TOIST:
     kwargs: Dict[str, Any] = dict(
         cfg=cfg, text_vocab_size=text_vocab_size,
         text_hidden=cfg.text_hidden, text_layers=cfg.text_layers,
         text_heads=cfg.text_heads, text_intermediate=cfg.text_intermediate,
-        backbone_norm=cfg.backbone_norm)
+        backbone_norm=cfg.backbone_norm, mesh=mesh)
     if tiny_text:  # test convenience override
         kwargs.update(text_hidden=64, text_layers=2, text_heads=4,
                       text_intermediate=128)

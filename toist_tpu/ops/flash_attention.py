@@ -310,18 +310,13 @@ def _to_head_major(x, H, Sp_pad, HDP):
     return jnp.pad(x, ((0, 0), (0, Sp_pad - S), (0, HDP - hd)))
 
 
-def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    key_padding_mask: Optional[jnp.ndarray],
-                    num_heads: int, dropout_rate: float = 0.0,
-                    deterministic: bool = True,
-                    seed: Optional[jnp.ndarray] = None,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Fused attention over projected q/k/v in packed [B, S, D] layout.
-
-    key_padding_mask: [B, S_k] bool, True on padding keys (torch convention,
-    as in models/layers.MultiheadAttention). seed: int32 [1] for the dropout
-    PRNG (required when dropout is active).
-    """
+def _fused_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 key_padding_mask: Optional[jnp.ndarray],
+                 num_heads: int, dropout_rate: float = 0.0,
+                 deterministic: bool = True,
+                 seed: Optional[jnp.ndarray] = None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Single-device fused attention body (see fused_attention)."""
     B, Sq, D = q.shape
     S = k.shape[1]
     H = num_heads
@@ -353,3 +348,59 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     o = fn(qp, kp, vp, bias, seed)                       # [BH, Sqp, HDP]
     o = o[:, :Sq, :hd].reshape(B, H, Sq, hd).transpose(0, 2, 1, 3)
     return o.reshape(B, Sq, D)
+
+
+# Large odd int32; multiplying by the shard index (wrapping mod 2^32) spreads
+# per-shard dropout seed bases far beyond any in-shard tile-index range, so
+# data-parallel shards draw decorrelated dropout masks.
+_SEED_SHARD_STRIDE = 0x632BE5AB
+
+
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    key_padding_mask: Optional[jnp.ndarray],
+                    num_heads: int, dropout_rate: float = 0.0,
+                    deterministic: bool = True,
+                    seed: Optional[jnp.ndarray] = None,
+                    interpret: bool = False,
+                    mesh=None, data_axis: str = "data") -> jnp.ndarray:
+    """Fused attention over projected q/k/v in packed [B, S, D] layout.
+
+    key_padding_mask: [B, S_k] bool, True on padding keys (torch convention,
+    as in models/layers.MultiheadAttention). seed: int32 [1] for the dropout
+    PRNG (required when dropout is active).
+
+    mesh/data_axis: optional jax.sharding.Mesh whose `data_axis` shards the
+    batch dimension. A bare pallas_call has no SPMD partitioning rule, so
+    inside a multi-device pjit XLA would gather/replicate the operands around
+    the kernel; wrapping it in shard_map instead runs the kernel per shard on
+    the local batch (the standard TPU pattern for Pallas under data
+    parallelism). The dropout stream is decorrelated across shards by folding
+    the shard index into the kernel seed; this makes multi-device dropout
+    bits differ from the single-device run by construction (the unfused path
+    has the same property: jax.random.bits over the global shape assigns
+    different bits to different rows).
+    """
+    n_shards = int(mesh.shape.get(data_axis, 1)) if mesh is not None else 1
+    B = q.shape[0]
+    if n_shards <= 1 or B % n_shards != 0:
+        # No mesh (single device), or an indivisible batch (falls back to
+        # XLA's own handling of the unpartitioned kernel — correct, slower).
+        return _fused_local(q, k, v, key_padding_mask, num_heads,
+                            dropout_rate, deterministic, seed, interpret)
+    from jax.sharding import PartitionSpec as P
+
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((B, k.shape[1]), bool)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+
+    def shard_body(qs, ks, vs, kpm, sd):
+        sd = sd + (jax.lax.axis_index(data_axis).astype(jnp.int32)
+                   * jnp.int32(_SEED_SHARD_STRIDE))
+        return _fused_local(qs, ks, vs, kpm, num_heads, dropout_rate,
+                            deterministic, sd, interpret)
+
+    sh = P(data_axis)
+    return jax.shard_map(shard_body, mesh=mesh,
+                         in_specs=(sh, sh, sh, sh, P()), out_specs=sh,
+                         check_vma=False)(q, k, v, key_padding_mask, seed)

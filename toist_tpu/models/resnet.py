@@ -189,13 +189,20 @@ def make_resnet(name: str, norm_type: str, dilation: bool, dtype,
              "resnet18-test": (1, 1, 1, 1)}
     if name.startswith("timm_"):
         # Reference backbone.py:117-162 wraps arbitrary timm models behind
-        # --backbone timm_<name>. timm is not vendored here (and none of the
-        # TOIST workloads use it); the native families above are the
-        # supported set. Fail loudly rather than silently substituting.
+        # --backbone timm_<name> with BN rewritten to FrozenBN; MDETR's
+        # published use of that path is the EfficientNet family
+        # (tf_efficientnet_b3_ns / _b5_ns), implemented natively in
+        # models/efficientnet.py. Other timm families fail loudly rather
+        # than silently substituting.
+        from toist_tpu.models.efficientnet import (make_efficientnet,
+                                                   parse_timm_efficientnet)
+        variant = parse_timm_efficientnet(name)
+        if variant is not None:
+            return make_efficientnet(variant, norm_type, dtype, remat=remat)
         raise ValueError(
-            f"timm backbones ({name}) are not available in toist_tpu; "
-            "use resnet50/resnet101 (reference TimmBackbone parity is "
-            "documented as out of scope in COMPONENTS.md)")
+            f"timm backbone {name} is not available in toist_tpu; supported: "
+            "resnet50/resnet101 and timm_[tf_]efficientnet_b0..b5 "
+            "(models/efficientnet.py)")
     if name not in sizes:
         raise ValueError(f"unknown backbone {name}")
     return ResNet(stage_sizes=sizes[name], norm_type=norm_type,

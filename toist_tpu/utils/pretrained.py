@@ -58,6 +58,71 @@ def convert_torchvision_resnet(state_dict: Dict[str, Any],
     return params["backbone"], frozen["backbone"]
 
 
+def _t_conv(w: np.ndarray) -> np.ndarray:
+    """torch conv weight [O, I, kh, kw] -> flax NHWC kernel [kh, kw, I, O].
+
+    The same transpose covers depthwise convs: torch groups=C stores
+    [C, 1, kh, kw]; flax feature_group_count=C expects [kh, kw, 1, C]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def convert_timm_efficientnet(state_dict: Dict[str, Any]
+                              ) -> Tuple[Dict, Dict]:
+    """Bare timm EfficientNet state_dict -> (params, frozen) backbone subtrees.
+
+    Mirrors the reference TimmBackbone ingestion (backbone.py:117-130): timm
+    `efficientnet_bX` trunk weights with every BatchNorm frozen (replace_bn ->
+    our FrozenBN 'frozen' collection). The classifier head (conv_head/bn2 at
+    top level past the blocks, classifier.*) is dropped, as features_only
+    does. Naming map: timm `blocks.S.B` -> `stageS+1_B`; DepthwiseSeparable
+    blocks (stage 0, no expansion) store their projection as `conv_pw`/`bn2`
+    in timm but `conv_pwl`/`bn2` here; SE convs `se.conv_reduce/expand` ->
+    `se_reduce/se_expand`. Conv weights transpose OIHW -> HWIO."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()
+          if "num_batches_tracked" not in k}
+    params: Dict[str, Any] = {"conv_stem": {"kernel": _t_conv(
+        sd["conv_stem.weight"])}}
+    frozen: Dict[str, Any] = {}
+
+    def bn(prefix: str) -> Dict[str, np.ndarray]:
+        return {stat: sd[f"{prefix}.{stat}"] for stat in
+                ("weight", "bias", "running_mean", "running_var")}
+
+    frozen["bn1"] = bn("bn1")
+    s = 0
+    while f"blocks.{s}.0.conv_dw.weight" in sd:
+        b = 0
+        while f"blocks.{s}.{b}.conv_dw.weight" in sd:
+            src = f"blocks.{s}.{b}"
+            name = f"stage{s + 1}_{b}"
+            is_ir = f"{src}.conv_pwl.weight" in sd  # InvertedResidual
+            p = {"conv_dw": {"kernel": _t_conv(sd[f"{src}.conv_dw.weight"])},
+                 "se_reduce": {
+                     "kernel": _t_conv(sd[f"{src}.se.conv_reduce.weight"]),
+                     "bias": sd[f"{src}.se.conv_reduce.bias"]},
+                 "se_expand": {
+                     "kernel": _t_conv(sd[f"{src}.se.conv_expand.weight"]),
+                     "bias": sd[f"{src}.se.conv_expand.bias"]}}
+            f = {}
+            if is_ir:
+                p["conv_pw"] = {"kernel": _t_conv(sd[f"{src}.conv_pw.weight"])}
+                p["conv_pwl"] = {
+                    "kernel": _t_conv(sd[f"{src}.conv_pwl.weight"])}
+                f["bn1"], f["bn2"], f["bn3"] = (bn(f"{src}.bn1"),
+                                                bn(f"{src}.bn2"),
+                                                bn(f"{src}.bn3"))
+            else:
+                p["conv_pwl"] = {
+                    "kernel": _t_conv(sd[f"{src}.conv_pw.weight"])}
+                f["bn1"], f["bn2"] = bn(f"{src}.bn1"), bn(f"{src}.bn2")
+            params[name], frozen[name] = p, f
+            b += 1
+        s += 1
+    if s == 0:
+        raise ValueError("state_dict has no timm EfficientNet blocks.*")
+    return params, frozen
+
+
 def convert_hf_roberta(state_dict: Dict[str, Any],
                        keep_pooler: bool = False) -> Dict:
     """Bare HF RobertaModel state_dict -> text_encoder params subtree.
@@ -95,9 +160,13 @@ def apply_pretrained(cfg, params: Dict, frozen: Dict) -> Tuple[Dict, Dict]:
     if cfg.model.without_pretrain:
         return params, frozen
     if cfg.run.pretrained_backbone:
-        bp, bf = convert_torchvision_resnet(
-            load_state_dict(cfg.run.pretrained_backbone),
-            stage_sizes=STAGE_SIZES[cfg.model.backbone])
+        if cfg.model.backbone.startswith("timm_"):
+            bp, bf = convert_timm_efficientnet(
+                load_state_dict(cfg.run.pretrained_backbone))
+        else:
+            bp, bf = convert_torchvision_resnet(
+                load_state_dict(cfg.run.pretrained_backbone),
+                stage_sizes=STAGE_SIZES[cfg.model.backbone])
         _check_same_shapes(params["backbone"], bp, "params/backbone")
         params = {**params, "backbone": bp}
         if cfg.model.backbone_norm == "frozen_bn":

@@ -56,7 +56,8 @@ def main():
                      coco_path=cache,
                      refexp_ann_path=os.path.join(cache, "annotations"),
                      train_image_buckets=((bench.TRAIN_H, bench.TRAIN_W),),
-                     num_workers=num_workers))
+                     max_text_len=24,   # matches bench.measure_train's T so
+                     num_workers=num_workers))  # the warm cache hits
     tokenizer = RobertaBPE.train(fixture_captions(), vocab_size=512)
     ds = build_task_dataset(cfg.data, 1, "train", tokenizer)
     spec = BucketSpec(buckets=cfg.data.train_image_buckets,
@@ -65,9 +66,14 @@ def main():
     it = BatchIterator([ds], spec, batch_size=B, seed=0, shuffle=True,
                        num_workers=num_workers, drop_last=True)
 
-    model = build_model(cfg.model, text_vocab_size=tokenizer.vocab_size)
-    optimizer = make_optimizer(cfg.optim, steps_per_epoch=max(1, len(it)),
-                               total_steps=10 * max(1, len(it)))
+    # Flagship vocab width regardless of the tiny fixture tokenizer (ids are
+    # valid in the bigger table) so the step executable matches bench.py's.
+    model = build_model(cfg.model, text_vocab_size=50265)
+    # Same schedule constants as bench.measure_train: the schedule lengths
+    # are baked into the compiled step, so matching them keeps the persistent
+    # cache warm (schedule exactness is irrelevant to this benchmark).
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch=100,
+                               total_steps=1000)
     import __graft_entry__
     init_batch = __graft_entry__._example_batch(
         B=1, H=64, W=64, N=cfg.data.max_boxes, T=cfg.data.max_text_len,

@@ -10,6 +10,7 @@ assertions about "time inside the compiler".
 
 Usage: python scripts/prof_train_ops.py 80 > prof.json
        python scripts/roofline_report.py prof.json [hbm_gbps]
+       python scripts/roofline_report.py prof.json [hbm_gbps] --by-class
 """
 from __future__ import annotations
 
@@ -57,18 +58,41 @@ def classify(name: str, attained_frac: float) -> str:
 
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "/dev/stdin"
-    hbm = float(sys.argv[2]) if len(sys.argv) > 2 else 819.0  # v5e GB/s
+    argv = [a for a in sys.argv[1:] if a != "--by-class"]
+    by_class = "--by-class" in sys.argv
+    path = argv[0] if argv else "/dev/stdin"
+    hbm = float(argv[1]) if len(argv) > 1 else 819.0  # v5e GB/s
     with open(path) as f:
         d = json.load(f)
-    print(f"device_ms_per_iter: {d['device_ms_per_iter']}")
-    print(f"{'ms':>8} {'GB moved':>9} {'GB/s':>7} {'%HBM':>6}  class / op")
+    total_ms = d["device_ms_per_iter"]
+    print(f"device_ms_per_iter: {total_ms}")
     rows = []
     for name, ms in d["top_ops"]:
         gb = op_bytes(name) / 1e9
         gbps = gb / (ms / 1e3) if ms else 0.0
         frac = gbps / hbm
         rows.append((ms, gb, gbps, frac, name))
+    if by_class:
+        agg = {}
+        for ms, gb, gbps, frac, name in rows:
+            cls = classify(name, frac)
+            a = agg.setdefault(cls, [0.0, 0.0, 0, 1.0, 0.0])
+            a[0] += ms
+            a[1] += gb
+            a[2] += 1
+            a[3] = min(a[3], frac)
+            a[4] = max(a[4], frac)
+        covered = sum(a[0] for a in agg.values())
+        print(f"profiled top-op coverage: {covered:.1f} ms "
+              f"({100 * covered / total_ms:.0f}% of step)")
+        print(f"{'ms':>8} {'%step':>6} {'ops':>4} {'GB moved':>9} "
+              f"{'%HBM range':>12}  class")
+        for cls, (ms, gb, n, lo, hi) in sorted(agg.items(),
+                                               key=lambda kv: -kv[1][0]):
+            print(f"{ms:8.1f} {100 * ms / total_ms:5.1f}% {n:4d} {gb:9.2f} "
+                  f"{100 * lo:4.0f}-{100 * hi:3.0f}%   {cls}")
+        return
+    print(f"{'ms':>8} {'GB moved':>9} {'GB/s':>7} {'%HBM':>6}  class / op")
     for ms, gb, gbps, frac, name in rows:
         short = name.split(" = ")[0].lstrip("%")
         shape = SHAPE_RE.search(name.split(" = ")[-1])

@@ -177,7 +177,9 @@ class RunConfig:
     eval_only: bool = False
     profile_dir: str = ""                # jax.profiler trace of the first epoch
     # Mesh: data parallelism is the reference's only strategy (SURVEY.md §2.2).
-    mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the 'data' axis
+    # A 2-D mesh adds Megatron-style tensor parallelism over 'model'
+    # (parallel/tp.py): mesh_shape=(-1, tp), mesh_axes=("data", "model").
+    mesh_shape: Tuple[int, ...] = (-1,)  # -1 = remaining devices on that axis
     mesh_axes: Tuple[str, ...] = ("data",)
     shard_opt_state: bool = True         # ZeRO-1-style optimizer sharding over 'data'
     # Dropout-mask PRNG. "rbg" (XLA RngBitGenerator) generates the big

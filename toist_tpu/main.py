@@ -27,6 +27,7 @@ from toist_tpu.data.tokenizer import RobertaBPE
 from toist_tpu.eval.evaluator import mean_ap50
 from toist_tpu.models.toist import build_model
 from toist_tpu.parallel import mesh as mesh_lib
+from toist_tpu.parallel import tp as tp_lib
 from toist_tpu.train import checkpoint as ckpt
 from toist_tpu.train import engine
 from toist_tpu.train.criterion import build_weight_dict
@@ -211,8 +212,22 @@ def main(cfg: Config) -> Optional[float]:
     state = mesh_lib.replicate_tree(state, mesh)
     frozen = mesh_lib.replicate_tree(frozen, mesh)
     teacher_frozen = mesh_lib.replicate_tree(teacher_frozen, mesh)
+    if tp_lib.has_model_axis(mesh):
+        # Tensor parallelism (parallel/tp.py): attention/FFN weights of the
+        # joint transformer and text encoder shard over 'model'; the train
+        # step pins updated params/EMA to the same layout.
+        state = state.replace(
+            params=tp_lib.shard_params(state.params, mesh),
+            ema_params=(tp_lib.shard_params(state.ema_params, mesh)
+                        if state.ema_params is not None else None),
+            teacher_params=(tp_lib.shard_params(state.teacher_params, mesh)
+                            if state.teacher_params is not None else None),
+            teacher_ema_params=(
+                tp_lib.shard_params(state.teacher_ema_params, mesh)
+                if state.teacher_ema_params is not None else None))
     if cfg.run.shard_opt_state:
-        # ZeRO-1: AdamW moments sharded over 'data' instead of replicated.
+        # ZeRO-1: AdamW moments sharded over 'data' instead of replicated
+        # (composed with the TP 'model' axis when present).
         state = state.replace(
             opt_state=mesh_lib.shard_opt_state(state.opt_state, mesh))
 

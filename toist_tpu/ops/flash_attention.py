@@ -350,10 +350,11 @@ def _fused_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return o.reshape(B, Sq, D)
 
 
-# Large odd int32; multiplying by the shard index (wrapping mod 2^32) spreads
+# Large odd int32s; multiplying by the shard index (wrapping mod 2^32) spreads
 # per-shard dropout seed bases far beyond any in-shard tile-index range, so
-# data-parallel shards draw decorrelated dropout masks.
+# data-parallel (and model-parallel) shards draw decorrelated dropout masks.
 _SEED_SHARD_STRIDE = 0x632BE5AB
+_SEED_MODEL_STRIDE = 0x61C88647
 
 
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -362,7 +363,8 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     deterministic: bool = True,
                     seed: Optional[jnp.ndarray] = None,
                     interpret: bool = False,
-                    mesh=None, data_axis: str = "data") -> jnp.ndarray:
+                    mesh=None, data_axis: str = "data",
+                    model_axis: str = "model") -> jnp.ndarray:
     """Fused attention over projected q/k/v in packed [B, S, D] layout.
 
     key_padding_mask: [B, S_k] bool, True on padding keys (torch convention,
@@ -379,10 +381,23 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bits differ from the single-device run by construction (the unfused path
     has the same property: jax.random.bits over the global shape assigns
     different bits to different rows).
+
+    model_axis: if the mesh also has a >1 `model_axis` (tensor parallelism,
+    parallel/tp.py), the q/k/v feature dim arrives sharded head-wise over
+    'model' (the column-parallel projections shard their output features);
+    the kernel then runs per (data, model) shard on its local heads
+    (num_heads/tp) — attention is head-independent, so no collective is
+    needed inside. Requires num_heads % tp == 0 (the TP policy only shards
+    divisible layers, so this holds whenever placement sharded the
+    projections).
     """
     n_shards = int(mesh.shape.get(data_axis, 1)) if mesh is not None else 1
+    tp = int(mesh.shape.get(model_axis, 1)) if mesh is not None else 1
     B = q.shape[0]
-    if n_shards <= 1 or B % n_shards != 0:
+    if tp > 1 and num_heads % tp != 0:
+        tp = 1   # placement left these projections replicated; kernel runs
+                 # per data shard on the full head set
+    if (n_shards <= 1 and tp <= 1) or B % max(n_shards, 1) != 0:
         # No mesh (single device), or an indivisible batch (falls back to
         # XLA's own handling of the unpartitioned kernel — correct, slower).
         return _fused_local(q, k, v, key_padding_mask, num_heads,
@@ -393,14 +408,20 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         key_padding_mask = jnp.zeros((B, k.shape[1]), bool)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    local_heads = num_heads // tp
 
     def shard_body(qs, ks, vs, kpm, sd):
         sd = sd + (jax.lax.axis_index(data_axis).astype(jnp.int32)
                    * jnp.int32(_SEED_SHARD_STRIDE))
-        return _fused_local(qs, ks, vs, kpm, num_heads, dropout_rate,
+        if tp > 1:
+            sd = sd + (jax.lax.axis_index(model_axis).astype(jnp.int32)
+                       * jnp.int32(_SEED_MODEL_STRIDE))
+        return _fused_local(qs, ks, vs, kpm, local_heads, dropout_rate,
                             deterministic, sd, interpret)
 
-    sh = P(data_axis)
+    feat = model_axis if tp > 1 else None
+    sh = P(data_axis, None, feat)
     return jax.shard_map(shard_body, mesh=mesh,
-                         in_specs=(sh, sh, sh, sh, P()), out_specs=sh,
+                         in_specs=(sh, sh, sh, P(data_axis, None), P()),
+                         out_specs=sh,
                          check_vma=False)(q, k, v, key_padding_mask, seed)

@@ -3,7 +3,9 @@
 The reference's only parallelism is data parallelism via DDP (SURVEY.md §2.2); here
 that is a 1-D ('data',) jax.sharding.Mesh: batches shard on 'data', parameters are
 replicated, XLA inserts the gradient psum over ICI. Optimizer state can optionally
-shard over 'data' (ZeRO-1-ish, RunConfig.shard_opt_state).
+shard over 'data' (ZeRO-1-ish, RunConfig.shard_opt_state). A 2-D
+('data', 'model') mesh adds tensor parallelism via parameter placement
+(parallel/tp.py); the ZeRO-1 specs below compose with the TP axis.
 """
 from __future__ import annotations
 
@@ -62,23 +64,48 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
         out_shardings=rep)(tree)
 
 
-def _zero1_spec(x: Any, n: int, min_size: int) -> P:
-    """ZeRO-1 leaf spec: shard the largest n-divisible axis over 'data'.
+def _zero1_spec(x: Any, n: int, min_size: int, base: P = P()) -> P:
+    """ZeRO-1 leaf spec: shard the largest n-divisible FREE axis over 'data'.
 
     Small leaves (and schedule counters etc.) stay replicated — sharding them
-    would cost a collective per step for no memory win."""
+    would cost a collective per step for no memory win. `base` carries the
+    tensor-parallel spec of the mirrored parameter (parallel/tp.py): moments
+    keep their 'model' axis and ZeRO-1 picks among the remaining axes, so
+    the two shardings compose (e.g. an FFN kernel moment [D, F] becomes
+    P('data', 'model'))."""
     shape = getattr(x, "shape", ())
+    spec = list(base) + [None] * (len(shape) - len(base))
     if not shape or int(np.prod(shape)) < min_size:
-        return P()
+        return P(*spec) if any(s is not None for s in spec) else P()
     best_axis, best_dim = -1, 0
     for i, d in enumerate(shape):
-        if d % n == 0 and d > best_dim:
+        if spec[i] is None and d % n == 0 and d > best_dim:
             best_axis, best_dim = i, d
-    if best_axis < 0:
+    if best_axis >= 0:
+        spec[best_axis] = "data"
+    if not any(s is not None for s in spec):
         return P()
-    spec = [None] * len(shape)
-    spec[best_axis] = "data"
     return P(*spec)
+
+
+def _opt_state_specs(opt_state: Any, mesh: Mesh, min_size: int) -> Any:
+    """Leaf -> PartitionSpec for the optimizer state, composing ZeRO-1 with
+    the TP policy. Moment trees mirror the parameter tree, so the TP policy
+    (which matches on the trailing (parent, name) path) applies to their
+    paths directly; non-mirrored leaves (schedule counts) fall through to
+    P()."""
+    from toist_tpu.parallel import tp as tp_lib
+
+    n = mesh.shape["data"]
+    if tp_lib.has_model_axis(mesh):
+        ntp = mesh.shape[tp_lib.MODEL_AXIS]
+
+        def spec(path, x):
+            base = tp_lib.tp_spec(tp_lib._path_names(path), x, ntp)
+            return _zero1_spec(x, n, min_size, base)
+        return jax.tree_util.tree_map_with_path(spec, opt_state)
+    return jax.tree_util.tree_map(
+        lambda x: _zero1_spec(x, n, min_size), opt_state)
 
 
 def shard_opt_state(opt_state: Any, mesh: Mesh, min_size: int = 2 ** 12) -> Any:
@@ -86,14 +113,15 @@ def shard_opt_state(opt_state: Any, mesh: Mesh, min_size: int = 2 ** 12) -> Any:
     sharded over the 'data' axis (reference has no analogue — torch keeps a
     full optimizer replica per rank, main.py:387-392; sharding is nearly free
     under pjit and cuts opt-state HBM by ~1/n_devices)."""
-    n = mesh.shape["data"]
-    if n <= 1:
-        return replicate_tree(opt_state, mesh)
+    from toist_tpu.parallel import tp as tp_lib
 
-    def place(x):
-        return jax.device_put(x, NamedSharding(mesh, _zero1_spec(x, n,
-                                                                 min_size)))
-    return jax.tree_util.tree_map(place, opt_state)
+    n = mesh.shape["data"]
+    if n <= 1 and not tp_lib.has_model_axis(mesh):
+        return replicate_tree(opt_state, mesh)
+    specs = _opt_state_specs(opt_state, mesh, min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state, specs)
 
 
 def constrain_opt_state(opt_state: Any, mesh: Optional[Mesh],
@@ -104,14 +132,15 @@ def constrain_opt_state(opt_state: Any, mesh: Optional[Mesh],
     propagation pass)."""
     if mesh is None:
         return opt_state
-    n = mesh.shape["data"]
-    if n <= 1:
-        return opt_state
+    from toist_tpu.parallel import tp as tp_lib
 
-    def constrain(x):
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, _zero1_spec(x, n, min_size)))
-    return jax.tree_util.tree_map(constrain, opt_state)
+    n = mesh.shape["data"]
+    if n <= 1 and not tp_lib.has_model_axis(mesh):
+        return opt_state
+    specs = _opt_state_specs(opt_state, mesh, min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, s)), opt_state, specs)
 
 
 def prefetch_to_device(iterator, mesh: Optional[Mesh], size: int = 2):

@@ -148,6 +148,11 @@ def make_distillation_train_step(model, cfg: Config,
         tema = state.teacher_ema_params
         if tema is not None:
             tema = ema_update(tema, new_params["teacher"], cfg.optim.ema_decay)
+        if mesh is not None:
+            from toist_tpu.parallel.tp import constrain_params
+            new_params = constrain_params(new_params, mesh)
+            ema = constrain_params(ema, mesh) if ema is not None else None
+            tema = constrain_params(tema, mesh) if tema is not None else None
         new_state = state.replace(
             params=new_params["student"], teacher_params=new_params["teacher"],
             opt_state=opt_state, ema_params=ema, teacher_ema_params=tema,

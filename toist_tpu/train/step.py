@@ -129,6 +129,11 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
         ema = state.ema_params
         if ema is not None:
             ema = ema_update(ema, params, cfg.optim.ema_decay)
+        if mesh is not None:
+            from toist_tpu.parallel.tp import constrain_params
+            params = constrain_params(params, mesh)
+            if ema is not None:
+                ema = constrain_params(ema, mesh)
         new_state = state.replace(params=params, opt_state=opt_state,
                                   ema_params=ema, cluster_bank=bank,
                                   step=state.step + 1)

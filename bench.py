@@ -340,18 +340,24 @@ def measure_seg_eval():
     n_iter = 8
     t0 = time.time()
     post_ms = 0.0
+    timing_acc = {}
     for _ in range(n_iter):
         post, masks, chain = eval_fwd(variables, args[0], chain, *args[1:])
         tp = time.time()
+        timings = {}
         rles = postprocess_masks_device(blob_masks, batch["size"],
                                         batch["orig_size"],
-                                        batch["sample_valid"])
+                                        batch["sample_valid"],
+                                        timings=timings)
         post_ms += time.time() - tp
+        for k, v in timings.items():
+            timing_acc[k] = timing_acc.get(k, 0.0) + v
         assert len(rles) == B and rles[0] is not None
     np.asarray(chain)
     dt = time.time() - t0
+    breakdown = {k: v / n_iter for k, v in timing_acc.items()}
     return (B * n_iter / dt, flops * n_iter / dt / 1e12,
-            post_ms / n_iter * 1e3, worst_ms)
+            post_ms / n_iter * 1e3, worst_ms, breakdown)
 
 
 def measure_dis_train():
@@ -623,11 +629,16 @@ def run_stage(stage: str):
                "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2)}
     elif stage == "seg_eval":
-        i, tf, post_ms, worst_ms = measure_seg_eval()
+        i, tf, post_ms, worst_ms, pbreak = measure_seg_eval()
         out = {"imgs_per_sec": round(i, 2), "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2),
                "mask_postprocess_ms_per_batch": round(post_ms, 1),
-               "mask_postprocess_worstcase_ms_per_batch": round(worst_ms, 1)}
+               "mask_postprocess_worstcase_ms_per_batch": round(worst_ms, 1),
+               # device_and_transfer includes the device->host pull of the
+               # packed bits, which rides the dev tunnel here (~12-25 MB/s);
+               # over real PCIe the same bytes move in ~2ms (packed_mb).
+               "postprocess_breakdown": {k: round(v, 2)
+                                         for k, v in pbreak.items()}}
     elif stage == "dis_train":
         s, i, tf = measure_dis_train()
         out = {"steps_per_sec": round(s, 3), "imgs_per_sec": round(i, 2),

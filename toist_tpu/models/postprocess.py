@@ -110,34 +110,59 @@ def postprocess_masks_host(pred_masks, sizes, orig_sizes, sample_valid,
     return out
 
 
-def _device_resize_threshold(pred_masks, Wy, Wx, logit_thr: float):
-    """[B,Q,h4,w4] logits x per-sample interp matrices -> packed binary masks.
+def _interp_vectors(o: int, s: int):
+    """Two-tap bilinear gather form of _interp_matrix: per output position,
+    source indices (i0, i1) and weights (1-lam, lam). Same half-pixel /
+    clamp / replicate-border arithmetic as torch F.interpolate."""
+    import numpy as np
 
-    Wy [B, OH, h4] and Wx [B, w4, OW] are per-sample bilinear matrices
-    (_interp_matrix) built on host; the resize itself runs as two batched MXU
-    matmuls on TPU (the device-side analogue of the reference's GPU
-    interpolate, postprocessors.py:98-104), thresholds there, and bit-packs
-    8 pixels/byte so only OH*OW/8 bytes per mask cross the wire.
+    scale = np.float32(s) / np.float32(o)
+    src = np.maximum(
+        (np.arange(o, dtype=np.float32) + np.float32(0.5)) * scale
+        - np.float32(0.5), np.float32(0.0))
+    i0 = src.astype(np.int32)
+    i1 = np.minimum(i0 + 1, s - 1)
+    lam = (src - i0).astype(np.float32)
+    return i0, i1, np.float32(1.0) - lam, lam
+
+
+def _device_resize_threshold(pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0,
+                             lx1, logit_thr: float, pack_bytes: int):
+    """[B,Q,h4,w4] logits x per-sample two-tap bilinear gathers -> packed
+    binary masks.
+
+    The bilinear matrices are 2-sparse per output position, so instead of
+    dense MXU matmuls (~146 GFLOP at this workload's batch-4 x 100-query x
+    640^2 shape, measured 170ms/batch at f32-HIGHEST) the resize runs as two
+    take_along_axis + lerp passes — pure HBM-bandwidth work, ~1% of the
+    FLOPs (the device-side analogue of the reference's GPU interpolate,
+    postprocessors.py:98-104). iy*/ly* are [B, OH] row indices/weights,
+    ix*/lx* are [B, OW]; weights are zero beyond each sample's (oh, ow) crop
+    so out-of-crop pixels threshold to 0. Thresholds on device and bit-packs
+    8 pixels/byte COLUMN-major (x-major: Fortran order is exactly COCO's RLE
+    stream, so the host run-length encodes the packed bytes directly via
+    rle_encode_packed_cm — that host stage was 2.2s/batch before). The
+    OH axis is cropped to `pack_bytes` rows of 8 before leaving the device:
+    only ceil(max_oh/8) * OW bytes per mask cross the wire.
     """
-    import jax
     import jax.numpy as jnp
 
     m = pred_masks.astype(jnp.float32)
-    rows = jnp.einsum("boh,bqhw->bqow", Wy, m,
-                      precision=jax.lax.Precision.HIGHEST)
-    # Second matmul emits COLUMN-major ("bqpo": x before y): column-major bit
-    # order is COCO's Fortran RLE stream, so the host can run-length encode
-    # the packed bytes directly (native rle_encode_packed_cm) with no
-    # unpackbits/transpose — that host stage was 2.2s/batch at the seg-eval
-    # setting (batch 4 x 100 query masks), vs ~40ms of device time.
-    full = jnp.einsum("bqow,bwp->bqpo", rows, Wx,
-                      precision=jax.lax.Precision.HIGHEST)
+    take = jnp.take_along_axis
+    # Rows: [B,Q,h4,w4] -> [B,Q,OH,w4].
+    rows = (take(m, iy0[:, None, :, None], axis=2) * ly0[:, None, :, None]
+            + take(m, iy1[:, None, :, None], axis=2) * ly1[:, None, :, None])
+    # Columns, emitted x-major: [B,Q,w4,OH] -> [B,Q,OW,OH].
+    rows = rows.transpose(0, 1, 3, 2)
+    full = (take(rows, ix0[:, None, :, None], axis=2) * lx0[:, None, :, None]
+            + take(rows, ix1[:, None, :, None], axis=2)
+            * lx1[:, None, :, None])
     bits = (full > logit_thr).astype(jnp.uint8)
     B, Q, OW, OH = bits.shape
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     packed = jnp.einsum("bqxok,k->bqxo",
                         bits.reshape(B, Q, OW, OH // 8, 8), weights)
-    return packed  # uint8 [B, Q, OW, OH/8]: column-major, MSB-first
+    return packed[..., :pack_bytes]  # uint8 [B, Q, OW, pack_bytes]: MSB-first
 
 
 _DEVICE_RESIZE_JIT = None
@@ -145,14 +170,22 @@ _DEVICE_RESIZE_JIT = None
 
 def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
                              mask_stride: int = 4, threshold: float = 0.5,
-                             max_out_hw=(640, 640)):
-    """Device-side PostProcessSegm: batched MXU resize + threshold + bitpack.
+                             max_out_hw=(640, 640), timings=None):
+    """Device-side PostProcessSegm: batched on-device resize + threshold +
+    bitpack.
 
     Same contract as postprocess_masks_host (reference postprocessors.py:59-109)
     but the per-query bilinear upsample runs on TPU over ALL B*Q masks at once,
     padded to a static (OH, OW) output canvas (COCO originals are <= 640 per
     side). Falls back to the host path if any original exceeds the canvas.
+
+    timings: optional dict; on return carries "device_and_transfer_ms" (jit
+    dispatch through np.asarray of the packed bits — includes the
+    device->host pull, which dominates on the tunneled dev chip but is ~2ms
+    over real PCIe), "host_rle_ms", and "packed_mb".
     """
+    import time as _time
+
     import jax
     import numpy as np
 
@@ -171,27 +204,45 @@ def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
                                       orig_sizes, sample_valid, mask_stride,
                                       threshold)
     B, Q, h4, w4 = pred_masks.shape
-    Wy = np.zeros((B, OH, h4), np.float32)
-    Wx = np.zeros((B, w4, OW), np.float32)
+    iy0 = np.zeros((B, OH), np.int32)
+    iy1 = np.zeros((B, OH), np.int32)
+    ly0 = np.zeros((B, OH), np.float32)
+    ly1 = np.zeros((B, OH), np.float32)
+    ix0 = np.zeros((B, OW), np.int32)
+    ix1 = np.zeros((B, OW), np.int32)
+    lx0 = np.zeros((B, OW), np.float32)
+    lx1 = np.zeros((B, OW), np.float32)
+    max_oh = 8
     for b in range(B):
         if not sample_valid[b]:
             continue
         ih, iw = int(sizes[b][0]), int(sizes[b][1])
         oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
+        max_oh = max(max_oh, oh)
         ch, cw = max(1, ih // mask_stride), max(1, iw // mask_stride)
-        # Rows/cols beyond the (oh, ow) crop stay zero; source indices beyond
-        # the (ch, cw) crop are never referenced by construction.
-        Wy[b, :oh, :ch] = _interp_matrix(oh, ch)
-        Wx[b, :cw, :ow] = _interp_matrix(ow, cw, transpose=True)
+        # Positions beyond the (oh, ow) crop keep zero weights (threshold to
+        # 0); source indices beyond the (ch, cw) crop are never referenced.
+        iy0[b, :oh], iy1[b, :oh], ly0[b, :oh], ly1[b, :oh] = \
+            _interp_vectors(oh, ch)
+        ix0[b, :ow], ix1[b, :ow], lx0[b, :ow], lx1[b, :ow] = \
+            _interp_vectors(ow, cw)
     logit_thr = float(np.log(threshold / (1 - threshold))) \
         if 0 < threshold < 1 else 0.0
+    # Static per-batch transfer crop: only ceil(max_oh/8) bytes per column
+    # leave the device (COCO batches mix 480- and 640-tall originals; the
+    # handful of distinct values each compile once, persistently cached).
+    pack_bytes = (max_oh + 7) // 8
 
     global _DEVICE_RESIZE_JIT
     if _DEVICE_RESIZE_JIT is None:
-        _DEVICE_RESIZE_JIT = jax.jit(_device_resize_threshold,
-                                     static_argnames=("logit_thr",))
-    packed = np.asarray(_DEVICE_RESIZE_JIT(pred_masks, Wy, Wx,
-                                           logit_thr=logit_thr))
+        _DEVICE_RESIZE_JIT = jax.jit(
+            _device_resize_threshold,
+            static_argnames=("logit_thr", "pack_bytes"))
+    t0 = _time.time()
+    packed = np.asarray(_DEVICE_RESIZE_JIT(
+        pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0, lx1,
+        logit_thr=logit_thr, pack_bytes=pack_bytes))
+    t1 = _time.time()
     out = []
     for b in range(B):
         if not sample_valid[b]:
@@ -200,4 +251,8 @@ def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
         oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
         out.append([rle_ops.encode_packed_cm(packed[b, q], oh, ow)
                     for q in range(Q)])
+    if timings is not None:
+        timings["device_and_transfer_ms"] = (t1 - t0) * 1e3
+        timings["host_rle_ms"] = (_time.time() - t1) * 1e3
+        timings["packed_mb"] = packed.nbytes / 1e6
     return out

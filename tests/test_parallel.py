@@ -133,12 +133,18 @@ def test_zero1_opt_state_sharding():
 def test_freeze_text_encoder():
     """model.freeze_text_encoder: text-encoder params take no updates while
     the rest trains (reference main.py:146-153, transformer.py:66-69)."""
-    model = build_model(CFG.model, text_vocab_size=600)
+    import dataclasses
+
+    # Flag set at the cfg level too (as main.py does), so the step applies
+    # stop_frozen_gradients and the text backward is DCE'd, not just zeroed.
+    fcfg = dataclasses.replace(
+        CFG, model=dataclasses.replace(CFG.model, freeze_text_encoder=True))
+    model = build_model(fcfg.model, text_vocab_size=600)
     batch = synthetic_batch(B=2, H=64, W=64, N=4, T=12)
-    optimizer = make_optimizer(CFG.optim, 10, 1000, freeze_text_encoder=True)
-    state, frozen = init_train_state(model, CFG, optimizer, batch, seed=0)
-    wd = build_weight_dict(CFG.loss, masks=False, num_dec_layers=1)
-    step = make_train_step(model, CFG, wd, optimizer, frozen)
+    optimizer = make_optimizer(fcfg.optim, 10, 1000, freeze_text_encoder=True)
+    state, frozen = init_train_state(model, fcfg, optimizer, batch, seed=0)
+    wd = build_weight_dict(fcfg.loss, masks=False, num_dec_layers=1)
+    step = make_train_step(model, fcfg, wd, optimizer, frozen)
     # Snapshot before the step: the train step donates (consumes) its input.
     old_params = jax.device_get(state.params)
     s1, _ = step(state, batch, jax.random.PRNGKey(0))

@@ -99,3 +99,78 @@ def test_overfit_single_batch():
         state.ema_params)
     max_diff = max(jax.tree_util.tree_leaves(diff))
     assert 0 < max_diff < 1.0
+
+
+def test_stop_frozen_gradients_symbolic_zeros():
+    """Frozen-labeled leaves (stem+layer1 always; text encoder when frozen)
+    must contribute SYMBOLIC zero gradients, so clip_by_global_norm sees
+    exactly torch's trainable-only norm (requires_grad=False semantics,
+    reference backbone.py:68-73, main.py:146-153) and XLA can dead-code
+    the frozen backward."""
+    import optax
+
+    from toist_tpu.train.optim import stop_frozen_gradients
+
+    params = {
+        "backbone": {"conv1": {"kernel": jnp.ones((2, 2))},
+                     "layer1_0": {"conv": {"kernel": jnp.ones((3, 3))}},
+                     "layer3_0": {"conv": {"kernel": jnp.ones((3, 3))}}},
+        "text_encoder": {"emb": {"kernel": jnp.ones((4, 4))}},
+        "decoder": {"lin": {"kernel": jnp.ones((5, 5))}},
+    }
+
+    def loss(p, freeze_text):
+        p = stop_frozen_gradients(p, freeze_text_encoder=freeze_text)
+        return sum((leaf ** 2).sum() for leaf in jax.tree_util.tree_leaves(p))
+
+    g = jax.grad(lambda p: loss(p, False))(params)
+    assert float(jnp.abs(g["backbone"]["conv1"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(g["backbone"]["layer1_0"]["conv"]["kernel"]).max()) \
+        == 0.0
+    assert float(jnp.abs(g["backbone"]["layer3_0"]["conv"]["kernel"]).min()) \
+        == 2.0
+    assert float(jnp.abs(g["text_encoder"]["emb"]["kernel"]).min()) == 2.0
+
+    gf = jax.grad(lambda p: loss(p, True))(params)
+    assert float(jnp.abs(gf["text_encoder"]["emb"]["kernel"]).max()) == 0.0
+    # The trainable-only global norm is what the reference's
+    # clip_grad_norm_ computes: frozen leaves are excluded exactly.
+    expected = float(jnp.sqrt(
+        (g["backbone"]["layer3_0"]["conv"]["kernel"] ** 2).sum()
+        + (g["text_encoder"]["emb"]["kernel"] ** 2).sum()
+        + (g["decoder"]["lin"]["kernel"] ** 2).sum()))
+    np.testing.assert_allclose(float(optax.global_norm(g)), expected,
+                               rtol=1e-6)
+
+
+def test_frozen_detector_backward_is_dce(seg_cfg=None):
+    """frozen_detector (seg training): the jitted step's HLO must not
+    contain the trunk backward — proxy: grads for every frozen leaf are
+    symbolic zeros, so the grad HLO for the conv backbone is dead. Checked
+    via the optimized jaxpr: no conv op may appear after the loss cotangent
+    seeds (cheap structural proxy: transpose-of-conv op count drops)."""
+    from toist_tpu.train.optim import label_params, stop_frozen_gradients
+
+    # Tiny stand-in "model": frozen trunk conv + trainable head matmul.
+    params = {"backbone": {"layer1_0": {"conv": {"kernel": jnp.ones((4, 4))}}},
+              "mask_head": {"lin": {"kernel": jnp.ones((4, 4))}}}
+    x = jnp.ones((4,))
+
+    def loss(p):
+        p = stop_frozen_gradients(p, frozen_detector=True)
+        h = x @ p["backbone"]["layer1_0"]["conv"]["kernel"]
+        return ((h @ p["mask_head"]["lin"]["kernel"]) ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(
+        g["backbone"]["layer1_0"]["conv"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(g["mask_head"]["lin"]["kernel"]).max()) > 0.0
+    # The frozen-trunk cotangent is dead code: the jaxpr for grad(loss) must
+    # not compute d/d(trunk kernel) — its only surviving use of the trunk
+    # kernel is the forward matmul.
+    jaxpr = jax.make_jaxpr(jax.grad(loss))(params)
+    uses = sum(str(e.primitive) == "dot_general" for e in jaxpr.eqns)
+    # fwd: 2 matmuls; bwd head: 1 (h^T @ dy); bwd into h: 1 (dy @ W^T) is
+    # NOT needed once the trunk grad is dead -> exactly 4 would mean the
+    # trunk backward survived; expect 3.
+    assert uses == 3, jaxpr

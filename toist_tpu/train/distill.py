@@ -53,6 +53,14 @@ def make_distillation_train_step(model, cfg: Config,
     use_cluster = lcfg.cluster
 
     def loss_fn(params, bank, batches, rng):
+        # Symbolic-zero grads for both models' frozen groups (stem+layer1;
+        # RoBERTa under freeze_text_encoder) — see train/optim.py
+        # stop_frozen_gradients. label_params matches on path substrings, so
+        # the {"student","teacher"} nesting is transparent to it.
+        from toist_tpu.train.optim import stop_frozen_gradients
+        params = stop_frozen_gradients(
+            params, frozen_detector=cfg.model.frozen_detector,
+            freeze_text_encoder=cfg.model.freeze_text_encoder)
         noun_b, sth_b = batches["noun"], batches["sth"]
         r1, r2, r3, r4 = jax.random.split(rng, 4)
 

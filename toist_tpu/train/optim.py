@@ -52,6 +52,27 @@ def label_params(params: Any, frozen_detector: bool = False,
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def stop_frozen_gradients(params: Any, frozen_detector: bool = False,
+                          freeze_text_encoder: bool = False) -> Any:
+    """Wrap frozen-labeled leaves in stop_gradient inside the loss function.
+
+    The reference freezes by `requires_grad_(False)` (stem+layer1
+    backbone.py:68-73, --freeze_text_encoder main.py:146-153, seg training's
+    wrapped detector segmentation.py:22-24), so torch never computes those
+    backward passes AND its clip_grad_norm_ never sees them. Matching that
+    here needs more than optax.set_to_zero (which only drops the update after
+    the fact): stop_gradient makes the frozen leaves' gradients symbolic
+    zeros, so (a) XLA dead-code-eliminates the frozen backward — the whole
+    trunk backward in frozen-detector seg training — and (b)
+    clip_by_global_norm / the grad_norm metric see exactly the reference's
+    trainable-only norm."""
+    labels = label_params(params, frozen_detector=frozen_detector,
+                          freeze_text_encoder=freeze_text_encoder)
+    return jax.tree_util.tree_map(
+        lambda p, l: jax.lax.stop_gradient(p) if l == "frozen" else p,
+        params, labels)
+
+
 def make_schedules(cfg: OptimConfig, steps_per_epoch: int,
                    total_steps: int) -> Dict[str, Callable]:
     """Per-group step->lr functions (util/optim.py:57-90 semantics)."""

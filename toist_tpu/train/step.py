@@ -73,6 +73,14 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
     use_cluster = cfg.loss.cluster
 
     def loss_fn(params, bank, batch, rng):
+        # Symbolic-zero grads for frozen groups (stem+layer1 always; the whole
+        # detector in frozen_detector seg training; RoBERTa under
+        # freeze_text_encoder): XLA DCEs their backward and the clip norm
+        # matches torch's trainable-only norm (see stop_frozen_gradients).
+        from toist_tpu.train.optim import stop_frozen_gradients
+        params = stop_frozen_gradients(
+            params, frozen_detector=cfg.model.frozen_detector,
+            freeze_text_encoder=cfg.model.freeze_text_encoder)
         rngs = {"dropout": rng}
         if use_cluster:
             from toist_tpu.train import cluster as cl

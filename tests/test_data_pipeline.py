@@ -256,3 +256,28 @@ def test_metric_logger_merge_and_summary_timing():
     # synchronize_between_processes is a no-op single-host.
     logger2.synchronize_between_processes()
     assert logger2.summary()["iter_time"] == s["iter_time"]
+
+
+def test_process_workers_match_threads(fixture_root, tokenizer):
+    """worker_mode="process" (fork worker pool, the reference's
+    DataLoader(num_workers) processes, main.py:415-424) must yield
+    byte-identical batches to the thread pool and the serial path: the
+    per-sample rng is keyed on (seed, epoch, index), independent of who
+    loads it."""
+    cfg = _cfg(fixture_root)
+    datasets = [build_task_dataset(cfg, t, "val", tokenizer) for t in (1, 2)]
+    spec = BucketSpec(buckets=default_buckets(), max_text_len=64, max_boxes=25)
+
+    def run(mode, workers):
+        it = BatchIterator(datasets, spec, batch_size=4, seed=0, shuffle=True,
+                           num_workers=workers, worker_mode=mode)
+        return list(it.epoch(0))
+
+    ref = run("thread", 1)
+    for mode, workers in (("thread", 3), ("process", 3)):
+        got = run(mode, workers)
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=(mode, k))

@@ -103,6 +103,9 @@ class DataConfig:
     # Caption modes (datasets/tdod.py:66-89)
     verb_noun_input: bool = False        # teacher captions "verb + noun"
     num_workers: int = 4
+    # "thread" (GIL released by PIL/numpy) or "process" — real worker
+    # processes like the reference DataLoader(num_workers, main.py:415-424).
+    worker_mode: str = "thread"
 
 
 @dataclass(frozen=True)

@@ -181,6 +181,26 @@ def collate(samples: Sequence[dict], spec: BucketSpec, bucket_idx: int,
     return batch
 
 
+# Per-worker-process loader state, set once by the pool initializer (fork
+# start method: the datasets are inherited by reference through the fork,
+# nothing is pickled on the way in; only the loaded samples — plain numpy
+# dicts — are pickled on the way back, exactly like a torch DataLoader
+# worker's result queue).
+_PROC_STATE: Dict[str, object] = {}
+
+
+def _proc_init(datasets, seed, epoch):
+    _PROC_STATE["datasets"] = datasets
+    _PROC_STATE["seed"] = seed
+    _PROC_STATE["epoch"] = epoch
+
+
+def _proc_load(di: int, si: int, flat_idx: int):
+    rng = np.random.default_rng(
+        (_PROC_STATE["seed"], _PROC_STATE["epoch"], int(flat_idx)))
+    return _PROC_STATE["datasets"][di].get(si, rng)
+
+
 class BatchIterator:
     """Groups dataset samples into same-bucket fixed-shape batches.
 
@@ -192,10 +212,20 @@ class BatchIterator:
     def __init__(self, datasets: List, spec: BucketSpec, batch_size: int,
                  seed: int = 42, shuffle: bool = True, drop_last: bool = False,
                  shard_id: int = 0, num_shards: int = 1, paired: bool = False,
-                 num_workers: int = 4):
+                 num_workers: int = 4, worker_mode: str = "thread"):
         """paired=True: datasets yield (noun, sth) pairs (distillation train,
         reference collate_fn util/misc.py:40-92); epochs then yield
-        {"noun": Batch, "sth": Batch} with aligned rows."""
+        {"noun": Batch, "sth": Batch} with aligned rows.
+
+        worker_mode: "thread" (default; PIL decode and the large numpy
+        transforms release the GIL) or "process" — real worker processes
+        like the reference's DataLoader(num_workers=5, main.py:415-424),
+        for hosts where the Python-level transform code itself becomes the
+        bottleneck. Uses the fork start method (workers inherit datasets
+        and the native tokenizer state without pickling; they touch only
+        numpy/PIL, never JAX). Falls back to threads where fork is
+        unavailable. Batch content is identical in all modes (per-sample
+        rng is keyed on (seed, epoch, index))."""
         self.datasets = datasets
         self.spec = spec
         self.batch_size = batch_size
@@ -206,6 +236,7 @@ class BatchIterator:
         self.num_shards = num_shards
         self.paired = paired
         self.num_workers = num_workers
+        self.worker_mode = worker_mode
         self._index: List[Tuple[int, int]] = []
         for di, ds in enumerate(datasets):
             for si in range(len(ds)):
@@ -236,23 +267,44 @@ class BatchIterator:
                 (self.seed, epoch, int(flat_idx)))
             return self.datasets[di].get(si, sample_rng)
 
+        mode = self.worker_mode
+        if mode == "process":
+            import multiprocessing as mp
+            if "fork" not in mp.get_all_start_methods():
+                mode = "thread"
         if num_workers > 1 and len(order):
             import collections
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(max_workers=num_workers)
+            if mode == "process":
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+                pool = ProcessPoolExecutor(
+                    max_workers=num_workers,
+                    mp_context=mp.get_context("fork"),
+                    initializer=_proc_init,
+                    initargs=(self.datasets, self.seed, epoch))
+
+                def submit(flat_idx):
+                    di, si = self._index[flat_idx]
+                    return pool.submit(_proc_load, di, si, int(flat_idx))
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                pool = ThreadPoolExecutor(max_workers=num_workers)
+
+                def submit(flat_idx):
+                    return pool.submit(load, flat_idx)
             inflight = collections.deque()
             it = iter(order)
 
             def loaded():
                 try:
                     for _ in range(num_workers * 2):
-                        inflight.append(pool.submit(load, next(it)))
+                        inflight.append(submit(next(it)))
                 except StopIteration:
                     pass
                 while inflight:
                     result = inflight.popleft().result()
                     try:
-                        inflight.append(pool.submit(load, next(it)))
+                        inflight.append(submit(next(it)))
                     except StopIteration:
                         pass
                     yield result

@@ -137,7 +137,8 @@ def main(cfg: Config) -> Optional[float]:
             train_sets, train_spec, batch_size=cfg.optim.train_batch_size,
             seed=cfg.run.seed, shuffle=True,
             shard_id=jax.process_index(), num_shards=jax.process_count(),
-            paired=cfg.loss.distillation, num_workers=cfg.data.num_workers)
+            paired=cfg.loss.distillation, num_workers=cfg.data.num_workers,
+            worker_mode=cfg.data.worker_mode)
         steps_per_epoch = max(1, len(train_iter))
     elif cfg.run.eval_only:
         steps_per_epoch = 1  # LR schedules are never consulted in eval-only

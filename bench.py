@@ -59,6 +59,18 @@ def _flops_of(compiled) -> float:
         return 0.0
 
 
+def _chain_images(images, chain):
+    """Data-dependent no-op perturbation for benchmark loops.
+
+    Preserves the image dtype: u8 canvases stay u8 (adding a dependent zero)
+    so the measured path includes the on-device normalize, while f32 images
+    get the non-foldable epsilon."""
+    import jax.numpy as jnp
+    if images.dtype == jnp.uint8:
+        return images + (chain * 0).astype(jnp.uint8)
+    return images + chain * 1e-30
+
+
 def measure_eval():
     """Returns (img/s, tflops/s, component_ms) for the flagship eval forward."""
     import jax
@@ -84,8 +96,8 @@ def measure_eval():
     def eval_fwd(variables, images, chain, image_mask, text_ids, text_mask,
                  orig_size):
         # Chain makes successive iterations data-dependent so a lazy runtime
-        # cannot skip them (epsilon too small to change results, not foldable).
-        images = images + chain * 1e-30
+        # cannot skip them (dtype-preserving, not foldable).
+        images = _chain_images(images, chain)
         out, _ = model.apply(variables, images, image_mask, text_ids,
                              text_mask, deterministic=True)
         post = postprocess_boxes(out["pred_logits"], out["pred_boxes"],
@@ -115,8 +127,10 @@ def measure_eval():
 
     @jax.jit
     def backbone_fwd(variables, images, chain):
-        feats = model.apply(variables, images.astype(model.compute_dtype)
-                            + chain * 1e-30, method=lambda m, x: m.backbone(x))
+        feats = model.apply(variables,
+                            _chain_images(images, chain).astype(
+                                model.compute_dtype),
+                            method=lambda m, x: m.backbone(x))
         out = feats["layer4"]
         return out, out.astype(jnp.float32).ravel()[0]
 
@@ -297,7 +311,7 @@ def measure_seg_eval():
     @jax.jit
     def eval_fwd(variables, images, chain, image_mask, text_ids, text_mask,
                  orig_size):
-        images = images + chain * 1e-30
+        images = _chain_images(images, chain)
         out, cache = model.apply(variables, images, image_mask, text_ids,
                                  text_mask, deterministic=True)
         post = postprocess_boxes(out["pred_logits"], out["pred_boxes"],

@@ -50,7 +50,10 @@ def main():
 
     def loss_fn(params, chain, fixed_match=False):
         b = dict(batch)
-        b["images"] = b["images"] + chain * 1e-30
+        if b["images"].dtype == jnp.uint8:
+            b["images"] = b["images"] + (chain * 0).astype(jnp.uint8)
+        else:
+            b["images"] = b["images"] + chain * 1e-30
         out, _ = model.apply({"params": params, **frozen}, b["images"],
                              b["image_mask"], b["text_ids"], b["text_mask"],
                              deterministic=False, rngs={"dropout": rng})
@@ -104,13 +107,21 @@ def main():
     if stage in ("full_step", "all"):
         train_step = make_train_step(model, cfg, wd, optimizer, frozen)
 
-        def full(state, chain):
-            b = dict(batch)
-            b["images"] = b["images"] + chain * 1e-30
-            s2, sc = train_step(state, b, rng)
-            return s2.step, sc["loss"]
+        # The train step DONATES its input state (CLAUDE.md invariant), so the
+        # timing loop must thread the returned state instead of reusing the
+        # donated one (reuse raises InvalidArgument on the second call).
+        def run_step(state):
+            s2, sc = train_step(state, dict(batch), rng)
+            return s2, sc["loss"]
 
-        res["full_step_ms"] = timeit(full, state)
+        state, loss = run_step(state)                     # compile + warmup
+        np.asarray(loss)
+        t0 = time.time()
+        iters = 10
+        for _ in range(iters):
+            state, loss = run_step(state)
+        np.asarray(loss)
+        res["full_step_ms"] = (time.time() - t0) / iters * 1e3
     print(json.dumps({k: round(v, 2) for k, v in res.items()}))
 
 

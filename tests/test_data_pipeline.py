@@ -258,6 +258,34 @@ def test_metric_logger_merge_and_summary_timing():
     assert logger2.summary()["iter_time"] == s["iter_time"]
 
 
+def test_device_normalize_u8_batches(fixture_root, tokenizer):
+    """DataConfig.device_normalize ships u8 canvases whose on-device affine
+    (x*scale - shift, masked to zero at pads) reproduces the host-normalized
+    f32 canvases exactly; every non-image field is byte-identical."""
+    spec = BucketSpec(buckets=default_buckets(), max_text_len=64, max_boxes=25)
+
+    def batches(device_normalize):
+        cfg = _cfg(fixture_root, device_normalize=device_normalize)
+        ds = build_task_dataset(cfg, 1, "val", tokenizer)
+        it = BatchIterator([ds], spec, batch_size=4, seed=0, shuffle=False,
+                           num_workers=1)
+        return list(it.epoch(0))
+
+    u8_batches = batches(True)
+    f32_batches = batches(False)
+    assert len(u8_batches) == len(f32_batches)
+    for bu, bf in zip(u8_batches, f32_batches):
+        assert bu["images"].dtype == np.uint8
+        assert bf["images"].dtype == np.float32
+        norm = (bu["images"].astype(np.float32) * T._NORM_SCALE
+                - T._NORM_SHIFT)
+        norm[bu["image_mask"]] = 0.0
+        np.testing.assert_allclose(norm, bf["images"], rtol=0, atol=1e-6)
+        for k in bf:
+            if k != "images":
+                np.testing.assert_array_equal(bu[k], bf[k], err_msg=k)
+
+
 def test_process_workers_match_threads(fixture_root, tokenizer):
     """worker_mode="process" (fork worker pool, the reference's
     DataLoader(num_workers) processes, main.py:415-424) must yield

@@ -187,6 +187,33 @@ def test_learned_position_embedding_path():
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
 
 
+def test_uint8_device_normalize_matches_host(model_and_params):
+    """u8 canvases + on-device normalize == host-normalized f32 canvases.
+
+    The device path (models/toist.normalize_uint8_images) must reproduce
+    data/transforms.to_array_and_normalize exactly, including the zero pad
+    region of the host canvas (data/batcher.pad_sample_to_canvas)."""
+    model, params, batch, fns = model_and_params
+    _, image_mask, text_ids, text_mask = batch
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, image_mask.shape + (3,)).astype(np.uint8)
+    from toist_tpu.data.transforms import _NORM_SCALE, _NORM_SHIFT
+    f32 = np.empty(u8.shape, np.float32)
+    np.multiply(u8, _NORM_SCALE, out=f32)
+    np.subtract(f32, _NORM_SHIFT, out=f32)
+    f32[np.asarray(image_mask)] = 0.0   # host canvases are zero-padded
+    out_u8, _ = fns["fwd"](params, jnp.asarray(u8), image_mask, text_ids,
+                           text_mask)
+    out_f32, _ = fns["fwd"](params, jnp.asarray(f32), image_mask, text_ids,
+                            text_mask)
+    np.testing.assert_allclose(np.asarray(out_u8["pred_logits"]),
+                               np.asarray(out_f32["pred_logits"]),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_u8["pred_boxes"]),
+                               np.asarray(out_f32["pred_boxes"]),
+                               rtol=0, atol=2e-6)
+
+
 def test_stem_conv_space_to_depth_exact():
     """StemConv's space-to-depth rewrite must equal the plain 7x7/s2/p3 conv."""
     import jax

@@ -106,6 +106,13 @@ class DataConfig:
     # "thread" (GIL released by PIL/numpy) or "process" — real worker
     # processes like the reference DataLoader(num_workers, main.py:415-424).
     worker_mode: str = "thread"
+    # Ship uint8 image canvases and normalize on-device (fused into the stem
+    # input chain): bit-equivalent to host normalization (the geometric
+    # transforms run on u8 PIL either way, like the reference whose Normalize
+    # follows ToTensor) while moving 4x fewer host->device bytes and skipping
+    # the host f32 pass. models/toist.py normalize_uint8_images; the model
+    # accepts either dtype, so f32-normalized batches remain valid inputs.
+    device_normalize: bool = True
 
 
 @dataclass(frozen=True)

@@ -7,7 +7,9 @@ box count, so the jitted step compiles once per bucket (SURVEY.md §5.7, the nor
 requirement in BASELINE.json).
 
 A `Batch` is a flat dict of numpy arrays with fully static shapes:
-  images      [B, H, W, 3] f32   (NHWC, zero-padded)
+  images      [B, H, W, 3] f32 host-normalized, or u8 raw when
+                                 DataConfig.device_normalize is on (NHWC,
+                                 zero-padded; the model normalizes u8 on-device)
   image_mask  [B, H, W]    bool  True on PADDING pixels (NestedTensor convention)
   text_ids    [B, T]       i32   (PAD=1)
   text_mask   [B, T]       bool  True on padding tokens
@@ -106,7 +108,10 @@ def pad_sample_to_canvas(sample: dict, bh: int, bw: int,
     img = sample["image"]
     h, w = img.shape[:2]
     assert h <= bh and w <= bw, (h, w, bh, bw)
-    out = np.zeros((bh, bw, 3), np.float32)
+    # Canvas dtype follows the sample: f32 host-normalized, or u8 when
+    # normalization is deferred to the device (DataConfig.device_normalize;
+    # pad pixels are zeroed on-device after the normalize affine either way).
+    out = np.zeros((bh, bw, 3), img.dtype)
     out[:h, :w] = img
     mask = np.ones((bh, bw), bool)
     mask[:h, :w] = False
@@ -131,8 +136,9 @@ def collate(samples: Sequence[dict], spec: BucketSpec, bucket_idx: int,
     bh, bw = spec.buckets[bucket_idx]
     B, N, T = batch_size, spec.max_boxes, spec.max_text_len
     L = spec.num_logit_cols
+    img_dtype = samples[0]["image"].dtype if samples else np.float32
     batch = {
-        "images": np.zeros((B, bh, bw, 3), np.float32),
+        "images": np.zeros((B, bh, bw, 3), img_dtype),
         "image_mask": np.ones((B, bh, bw), bool),
         "text_ids": np.full((B, T), 1, np.int32),
         "text_mask": np.ones((B, T), bool),

@@ -271,7 +271,9 @@ def build_task_dataset(cfg_data, task_id: int, image_set: str,
     tfs = T.make_transforms("train" if image_set == "train" else "val",
                             cautious=True, scales=list(cfg_data.train_scales),
                             max_size=cfg_data.max_size,
-                            val_size=getattr(cfg_data, "val_size", 800))
+                            val_size=getattr(cfg_data, "val_size", 800),
+                            device_normalize=getattr(cfg_data,
+                                                     "device_normalize", False))
     return CocoTasksDataset(
         img_dir, ann_file, task_id, image_set, tokenizer,
         catid2name=catid2name, return_masks=masks,

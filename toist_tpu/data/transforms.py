@@ -130,6 +130,19 @@ _NORM_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
 _NORM_SHIFT = (IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
 
 
+def _boxes_to_normalized_cxcywh(target: Optional[dict], h: int, w: int):
+    """Boxes xyxy absolute -> normalized cxcywh (reference :257-273)."""
+    if target is None:
+        return None
+    target = dict(target)
+    if "boxes" in target and len(target["boxes"]):
+        b = target["boxes"]
+        cxcywh = np.stack([(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2,
+                           b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=1)
+        target["boxes"] = cxcywh / np.array([w, h, w, h], np.float32)
+    return target
+
+
 def to_array_and_normalize(image: Image.Image, target: Optional[dict]):
     """PIL -> float32 HWC normalized; boxes -> normalized cxcywh (reference :257-273)."""
     # (x/255 - mean)/std == x*scale - shift, computed without a separate
@@ -143,14 +156,25 @@ def to_array_and_normalize(image: Image.Image, target: Optional[dict]):
     np.subtract(arr, _NORM_SHIFT, out=arr)
     if target is None:
         return arr, None
-    target = dict(target)
     h, w = arr.shape[:2]
-    if "boxes" in target and len(target["boxes"]):
-        b = target["boxes"]
-        cxcywh = np.stack([(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2,
-                           b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=1)
-        target["boxes"] = cxcywh / np.array([w, h, w, h], np.float32)
-    return arr, target
+    return arr, _boxes_to_normalized_cxcywh(target, h, w)
+
+
+def to_array_u8(image: Image.Image, target: Optional[dict]):
+    """PIL -> uint8 HWC, normalization deferred to the device; boxes as above.
+
+    The geometric transforms operate on u8 PIL images (like the reference,
+    whose Normalize runs after ToTensor), so shipping u8 and normalizing
+    on-device with the same x*scale - shift affine is bit-equivalent to
+    to_array_and_normalize while moving 4x fewer host->device bytes and
+    skipping the host f32 pass (models/toist.py normalize_uint8_images)."""
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    arr = np.ascontiguousarray(np.asarray(image))
+    if target is None:
+        return arr, None
+    h, w = arr.shape[:2]
+    return arr, _boxes_to_normalized_cxcywh(target, h, w)
 
 
 # --------------------------------------------------------------------------
@@ -222,15 +246,24 @@ class RandomSelect:
 
 
 class Normalize:
+    """to_float=False keeps the image u8 for on-device normalization
+    (DataConfig.device_normalize); box conversion is identical either way."""
+
+    def __init__(self, to_float: bool = True):
+        self.to_float = to_float
+
     def __call__(self, img, target, rng):
-        return to_array_and_normalize(img, target)
+        if self.to_float:
+            return to_array_and_normalize(img, target)
+        return to_array_u8(img, target)
 
 
 def make_transforms(image_set: str, cautious: bool = True,
                     scales=(480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800),
-                    max_size: int = 1333, val_size: int = 800):
+                    max_size: int = 1333, val_size: int = 800,
+                    device_normalize: bool = False):
     """Train/val recipes (reference datasets/tdod.py:301-335)."""
-    normalize = Normalize()
+    normalize = Normalize(to_float=not device_normalize)
     if image_set == "train":
         horizontal = [] if cautious else [RandomHorizontalFlip()]
         # The reference hardcodes pre-crop scales [400, 500, 600] and crop

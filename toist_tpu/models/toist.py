@@ -28,6 +28,26 @@ from toist_tpu.models.resnet import downsample_mask, make_resnet
 from toist_tpu.models.text_encoder import RobertaEncoder
 
 
+def normalize_uint8_images(images: jnp.ndarray,
+                           image_mask: jnp.ndarray) -> jnp.ndarray:
+    """On-device ImageNet normalization of raw u8 canvases.
+
+    Bit-equivalent to the host path (data/transforms.to_array_and_normalize:
+    same f32 x*scale - shift affine on the same u8 source — the geometric
+    transforms operate on u8 PIL images either way, like the reference whose
+    Normalize runs after ToTensor, datasets/transforms.py:257-273). Padded
+    pixels are forced to 0.0, matching the host path's zero canvas (the
+    reference also pads AFTER normalizing, util/misc.py:184-209). XLA fuses
+    the affine + mask into the stem input chain, so shipping u8 costs no
+    extra pass while moving 4x fewer host->device bytes.
+    """
+    from toist_tpu.data.transforms import _NORM_SCALE, _NORM_SHIFT
+    scale = jnp.asarray(_NORM_SCALE)
+    shift = jnp.asarray(_NORM_SHIFT)
+    keep = jnp.logical_not(image_mask)[..., None].astype(jnp.float32)
+    return (images.astype(jnp.float32) * scale - shift) * keep
+
+
 class TOIST(nn.Module):
     cfg: ModelConfig
     # Text encoder size knobs (roberta-base defaults; tests shrink these).
@@ -117,11 +137,15 @@ class TOIST(nn.Module):
                deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         """Phase 1 (mdetr.py:377-394 + transformer.py:98-168).
 
-        Args: images [B,H,W,3] f32, image_mask [B,H,W] True=pad,
+        Args: images [B,H,W,3] f32 normalized (or u8 raw — normalized
+              on-device, see normalize_uint8_images), image_mask [B,H,W]
+              True=pad,
               text_ids [B,T] i32, text_mask [B,T] True=pad.
         Returns memory_cache (batch-first), incl. features for the mask head.
         """
         dt = self.compute_dtype
+        if images.dtype == jnp.uint8:
+            images = normalize_uint8_images(images, image_mask)
         feats = self.backbone(images.astype(dt), pad_mask=image_mask)
         src = feats["layer4"]
         B, fh, fw, _ = src.shape

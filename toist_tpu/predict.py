@@ -76,7 +76,11 @@ class Predictor:
         image, _ = resize(image, None, self.cfg.data.val_size,
                           max_size=self.cfg.data.max_size)
         w, h = image.size
-        arr, _ = to_array_and_normalize(image, None)
+        if getattr(self.cfg.data, "device_normalize", False):
+            from toist_tpu.data.transforms import to_array_u8
+            arr, _ = to_array_u8(image, None)
+        else:
+            arr, _ = to_array_and_normalize(image, None)
         caption = self._caption(task_id)
         target = {"caption": caption, "tokens_positive": [],
                   "noun_tokens_positive": []}

@@ -206,6 +206,60 @@ def _paired_batch():
     return {"noun": noun, "sth": sth}
 
 
+def test_distillation_grad_accum_matches_full_batch():
+    """grad_accum_steps=2 on the paired streams == one full-batch step
+    (cluster off: the bank legitimately threads per-microbatch; dropout off
+    so per-microbatch keys are irrelevant)."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        DIS_CFG,
+        model=dataclasses.replace(DIS_CFG.model, dropout=0.0),
+        loss=dataclasses.replace(DIS_CFG.loss, cluster=False))
+    model = build_model(cfg.model, text_vocab_size=600)
+    batches = _paired_batch()
+    optimizer = make_optimizer(cfg.optim, 10, 1000)
+    state, frozen = init_train_state(model, cfg, optimizer,
+                                     batches["sth"], seed=0)
+    tvars = init_variables(model, batches["noun"], seed=1)
+    tparams, tfrozen = split_variables(tvars)
+    params = {"student": state.params, "teacher": tparams}
+    state = TrainState(
+        params=state.params, opt_state=optimizer.init(params),
+        ema_params=None, step=jnp.int32(0), teacher_params=tparams,
+        teacher_ema_params=None,
+        cluster_bank=cl.init_bank(14, cfg.loss.cluster_memory_size,
+                                  cfg.loss.cluster_num, cfg.model.hidden_dim))
+    snap = jax.device_get(state)
+    wd = build_weight_dict(cfg.loss, masks=False,
+                           num_dec_layers=cfg.model.dec_layers)
+    rng = jax.random.PRNGKey(0)
+
+    full = make_distillation_train_step(model, cfg, wd, optimizer,
+                                        frozen, tfrozen)
+    s_full, sc_full = full(state, batches, rng)
+    p_full = jax.device_get({"student": s_full.params,
+                             "teacher": s_full.teacher_params})
+
+    cfg2 = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, train_batch_size=1,
+                                       grad_accum_steps=2))
+    state2 = jax.tree_util.tree_map(jnp.asarray, snap)
+    accum = make_distillation_train_step(model, cfg2, wd, optimizer,
+                                         frozen, tfrozen)
+    s_acc, sc_acc = accum(state2, batches, rng)
+    p_acc = jax.device_get({"student": s_acc.params,
+                            "teacher": s_acc.teacher_params})
+
+    np.testing.assert_allclose(float(sc_acc["loss"]), float(sc_full["loss"]),
+                               rtol=1e-4)
+    flat_f = jax.tree_util.tree_leaves_with_path(p_full)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(p_acc))
+    diffs = np.concatenate(
+        [np.abs(flat_a[path] - leaf).ravel() for path, leaf in flat_f])
+    frac_bad = float((diffs > 8e-5).mean())
+    assert frac_bad < 1e-3, frac_bad
+
+
 @pytest.mark.slow
 def test_distillation_train_step():
     model = build_model(DIS_CFG.model, text_vocab_size=600)

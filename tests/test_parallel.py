@@ -77,6 +77,39 @@ def test_sharded_step_matches_single_device():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_grad_accum_sharded_matches_single_device():
+    """optim.grad_accum_steps composes with the data mesh: the in-step
+    [accum*B] -> [accum, B] reshape is a GSPMD redistribution, not a
+    correctness hazard. Same accum on both placements => identical dropout
+    keys, so the comparison is exact under threefry."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, optim=dataclasses.replace(CFG.optim, train_batch_size=8,
+                                       grad_accum_steps=2))
+    model = build_model(cfg.model, text_vocab_size=600)
+    batch = synthetic_batch(B=16, H=64, W=64, N=4, T=12)
+    optimizer = make_optimizer(cfg.optim, 10, 1000)
+    state, frozen = init_train_state(model, cfg, optimizer, batch, seed=0)
+    wd = build_weight_dict(cfg.loss, masks=False, num_dec_layers=1)
+    train_step = make_train_step(model, cfg, wd, optimizer, frozen)
+    rng = jax.random.PRNGKey(0)
+
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    state8 = mesh_lib.replicate_tree(state, mesh)
+    batch8 = mesh_lib.shard_batch(batch, mesh)
+
+    s1, sc1 = train_step(state, batch, rng)
+    s8, sc8 = train_step(state8, batch8, rng)
+
+    np.testing.assert_allclose(float(sc1["loss"]), float(sc8["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(sc1["grad_norm"]),
+                               float(sc8["grad_norm"]), rtol=2e-4)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s8.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2.5 * cfg.optim.lr
+
+
 @pytest.mark.slow
 def test_zero1_opt_state_sharding():
     """ZeRO-1 (run.shard_opt_state): AdamW moments sharded over 'data' hold

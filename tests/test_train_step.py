@@ -77,7 +77,9 @@ def test_overfit_single_batch():
     first_loss = float(scalars["loss"])
     assert bool(scalars["loss_is_finite"])
     # Avoid per-step host syncs (expensive here); fetch only the last scalars.
-    for i in range(159):
+    # 240 steps: with the resizer dropout now really off in dropout-free
+    # configs the trajectory shifted; 160 left sample 0's box mid-flight.
+    for i in range(239):
         state, scalars = train_step(state, batch, rng)
     last_loss = float(scalars["loss"])
     assert bool(scalars["loss_is_finite"])
@@ -99,6 +101,51 @@ def test_overfit_single_batch():
         state.ema_params)
     max_diff = max(jax.tree_util.tree_leaves(diff))
     assert 0 < max_diff < 1.0
+
+
+def test_grad_accum_matches_full_batch():
+    """optim.grad_accum_steps=2 over a 4-sample batch produces the same
+    post-step parameters as one step over the full batch: the per-microbatch
+    num_boxes_override (global/accum) + gradient averaging reproduce the
+    reference's DDP semantics exactly (mdetr.py:996-1001, engine.py:88).
+    dropout=0 in CFG so the per-microbatch dropout keys are irrelevant."""
+    model = build_model(CFG.model, text_vocab_size=600, tiny_text=True,
+                        backbone_norm="group_norm")
+    batch = synthetic_batch(B=4)
+    wd = build_weight_dict(CFG.loss, masks=False,
+                           num_dec_layers=CFG.model.dec_layers)
+    optimizer = make_optimizer(CFG.optim, steps_per_epoch=10,
+                               total_steps=1000)
+    state, frozen = init_train_state(model, CFG, optimizer, batch, seed=0)
+    snap = jax.device_get(state)   # the step donates its input state
+    rng = jax.random.PRNGKey(0)
+
+    full_step = make_train_step(model, CFG, wd, optimizer, frozen)
+    s_full, sc_full = full_step(state, batch, rng)
+    p_full = jax.device_get(s_full.params)
+
+    cfg2 = dataclasses.replace(
+        CFG, optim=dataclasses.replace(CFG.optim, train_batch_size=2,
+                                       grad_accum_steps=2))
+    state2 = jax.tree_util.tree_map(jnp.asarray, snap)
+    accum_step = make_train_step(model, cfg2, wd, optimizer, frozen)
+    s_acc, sc_acc = accum_step(state2, batch, rng)
+    p_acc = jax.device_get(s_acc.params)
+
+    np.testing.assert_allclose(float(sc_acc["loss"]), float(sc_full["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(sc_acc["grad_norm"]),
+                               float(sc_full["grad_norm"]), rtol=1e-4)
+    flat_f = jax.tree_util.tree_leaves_with_path(p_full)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(p_acc))
+    # First-step AdamW is ~sign(g)*lr (v = g^2), so elements whose gradient
+    # is ~0 legitimately flip update sign under f32 reduction-order noise.
+    # Assert the overwhelming majority of parameters took the identical
+    # update (loss and grad_norm above pin the aggregate math).
+    diffs = np.concatenate(
+        [np.abs(flat_a[path] - leaf).ravel() for path, leaf in flat_f])
+    frac_bad = float((diffs > 8e-5).mean())
+    assert frac_bad < 1e-3, frac_bad
 
 
 def test_stop_frozen_gradients_symbolic_zeros():

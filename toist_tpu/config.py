@@ -130,6 +130,16 @@ class OptimConfig:
     optimizer: str = "adamw"
     clip_max_norm: float = 0.1
     ema: bool = True
+    # Gradient accumulation: the train step consumes a batch of
+    # grad_accum_steps * train_batch_size samples, scans microbatches of
+    # train_batch_size accumulating gradients, and applies ONE optimizer
+    # update — bitwise-equivalent normalization to the reference's
+    # DDP-mean-of-ranks (per-microbatch losses normalized by
+    # global_num_boxes / accum, grads averaged; mdetr.py:996-1001 +
+    # engine.py:88). Lets a single chip (or a small mesh) reproduce the
+    # reference's 6-GPU global batch (e.g. 6 x 6 = accum 6 at batch 6).
+    # No reference flag — the reference scales only by adding GPUs.
+    grad_accum_steps: int = 1
     ema_decay: float = 0.9998
     fraction_warmup_steps: float = 0.01
     schedule: str = "linear_with_warmup" # {step, multistep, linear_with_warmup, all_linear_with_warmup}

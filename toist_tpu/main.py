@@ -133,8 +133,13 @@ def main(cfg: Config) -> Optional[float]:
 
     train_iter = None
     if train_sets:
+        # With gradient accumulation the step consumes accum * B samples and
+        # applies one optimizer update, so the iterator batches (and hence
+        # steps_per_epoch / the LR schedules) scale accordingly.
         train_iter = BatchIterator(
-            train_sets, train_spec, batch_size=cfg.optim.train_batch_size,
+            train_sets, train_spec,
+            batch_size=(cfg.optim.train_batch_size
+                        * cfg.optim.grad_accum_steps),
             seed=cfg.run.seed, shuffle=True,
             shard_id=jax.process_index(), num_shards=jax.process_count(),
             paired=cfg.loss.distillation, num_workers=cfg.data.num_workers,

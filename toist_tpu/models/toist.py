@@ -86,8 +86,13 @@ class TOIST(nn.Module):
         if cfg.position_embedding == "learned":
             self.learned_pos = LearnedPositionEmbedding2D(
                 cfg.hidden_dim // 2, dtype=dt, name="learned_pos")
-        self.resizer = FeatureResizer(cfg.hidden_dim, dropout=0.1, dtype=dt,
-                                      name="resizer")
+        # The reference hardcodes the resizer's dropout at 0.1 independent of
+        # --dropout (transformer.py:473-492); keep that, but let a fully
+        # dropout-free config (tests, deterministic serving) really mean
+        # "no dropout anywhere".
+        self.resizer = FeatureResizer(
+            cfg.hidden_dim, dropout=0.1 if cfg.dropout > 0 else 0.0,
+            dtype=dt, name="resizer")
         fused = cfg.fused_attention
         if fused == "auto":
             import jax

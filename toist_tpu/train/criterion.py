@@ -157,13 +157,18 @@ def compute_num_boxes(box_valid: jnp.ndarray,
 
 def mask_losses(pred_masks_sel: jnp.ndarray, gt_masks: jnp.ndarray,
                 box_valid: jnp.ndarray, sample_valid: jnp.ndarray,
-                prefix: str = "") -> Dict[str, jnp.ndarray]:
+                prefix: str = "",
+                num_boxes: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
     """Focal + dice on matched-query masks (reference mdetr.py:827-853).
 
     pred_masks_sel [B, N, h, w] aligned with gt_masks [B, N, h, w] (the caller
-    gathered each target's matched query via compute_masks(query_idx=t2q))."""
+    gathered each target's matched query via compute_masks(query_idx=t2q)).
+    num_boxes overrides the per-call normalizer (gradient accumulation passes
+    global_num_boxes / accum_steps, the reference's cross-rank-mean semantics,
+    mdetr.py:996-1001)."""
     bv = (box_valid & sample_valid[:, None])
-    num_boxes = compute_num_boxes(box_valid, sample_valid)
+    if num_boxes is None:
+        num_boxes = compute_num_boxes(box_valid, sample_valid)
     src = pred_masks_sel.reshape(*pred_masks_sel.shape[:2], -1)
     tgt = gt_masks.astype(jnp.float32).reshape(*gt_masks.shape[:2], -1)
     v = bv.astype(jnp.float32)
@@ -183,7 +188,12 @@ def set_criterion(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]
     pm = batch["positive_map"]
     bv = batch["box_valid"] & batch["sample_valid"][:, None]
     sv = batch["sample_valid"].astype(jnp.float32)
-    num_boxes = compute_num_boxes(batch["box_valid"], batch["sample_valid"])
+    # Gradient accumulation passes global_num_boxes / accum_steps here — the
+    # reference's cross-rank num_boxes mean (mdetr.py:996-1001); absent, the
+    # per-batch count (global under pjit) is the same thing for accum=1.
+    num_boxes = batch.get("num_boxes_override")
+    if num_boxes is None:
+        num_boxes = compute_num_boxes(batch["box_valid"], batch["sample_valid"])
 
     losses: Dict[str, jnp.ndarray] = {}
 

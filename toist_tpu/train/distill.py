@@ -142,9 +142,14 @@ def make_distillation_train_step(model, cfg: Config,
         step_rng = make_dropout_rng(rng, state.step,
                                     cfg.run.dropout_rng_impl)
         params = {"student": state.params, "teacher": state.teacher_params}
-        (loss, (scalars, bank)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, state.cluster_bank, batches,
-                                   step_rng)
+        import functools
+
+        from toist_tpu.train.step import accumulate_gradients
+        (loss, (scalars, bank)), grads = accumulate_gradients(
+            functools.partial(jax.value_and_grad(loss_fn, has_aux=True),
+                              params),
+            state.cluster_bank, batches, step_rng,
+            cfg.optim.grad_accum_steps)
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
         if cfg.run.shard_opt_state and mesh is not None:
             from toist_tpu.parallel.mesh import constrain_opt_state

@@ -59,6 +59,66 @@ def model_forward(model, params, frozen, batch, rngs=None, deterministic=True):
         batch["text_mask"], deterministic=deterministic, rngs=rngs)
 
 
+def accumulate_gradients(vg_fn: Callable, bank, batch, rng: jax.Array,
+                         accum: int):
+    """Gradient accumulation: scan `accum` microbatches, average gradients.
+
+    vg_fn(bank, batch, rng) -> ((loss, (scalars, bank)), grads) — a
+    value_and_grad closure with the params already bound. accum == 1 calls it
+    directly on the full batch. Otherwise the batch's leading dim
+    (accum * B) is reshaped to [accum, B, ...] and scanned; each microbatch's
+    losses are normalized by global_num_boxes / accum (injected as
+    batch["num_boxes_override"]) so the averaged gradients exactly equal one
+    step over the full batch — the reference's DDP semantics (cross-rank
+    num_boxes mean + gradient allreduce mean, mdetr.py:996-1001 +
+    engine.py:88; equality pinned by tests/test_train_step.py). The cluster
+    bank threads through the scan in microbatch order (the reference inserts
+    its all-gathered rows in rank order, mdetr.py:62-103). Dropout keys are
+    decorrelated per microbatch via fold_in. Scalars are microbatch means.
+    """
+    if accum <= 1:
+        return vg_fn(bank, batch, rng)
+    from toist_tpu.train import criterion as crit
+    # Distillation passes paired {"noun": Batch, "sth": Batch} trees; plain
+    # training a flat Batch. num_boxes is per stream (the reference computes
+    # it per SetCriterion call; paired streams share geometry so the values
+    # coincide, mdetr.py:880-989).
+    paired = "box_valid" not in batch
+    streams = batch if paired else {None: batch}
+    nb = {k: crit.compute_num_boxes(b["box_valid"], b["sample_valid"])
+          for k, b in streams.items()}
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+        batch)
+
+    def run(bank, mb, r):
+        if paired:
+            mb = {k: dict(mb[k], num_boxes_override=nb[k] / accum)
+                  for k in mb}
+        else:
+            mb = dict(mb, num_boxes_override=nb[None] / accum)
+        (loss, (scalars, new_bank)), grads = vg_fn(bank, mb, r)
+        return (loss, scalars, grads), new_bank
+
+    mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+    acc_shapes, _ = jax.eval_shape(run, bank, mb0, rng)
+    acc0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), acc_shapes)
+
+    def body(carry, xs):
+        bank, acc = carry
+        idx, mb = xs
+        out, bank = run(bank, mb, jax.random.fold_in(rng, idx))
+        acc = jax.tree_util.tree_map(jnp.add, acc, out)
+        return (bank, acc), None
+
+    (bank, (loss_sum, scalars_sum, grads_sum)), _ = jax.lax.scan(
+        body, (bank, acc0), (jnp.arange(accum), micro))
+    inv = 1.0 / accum
+    mean = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
+    return (loss_sum * inv, (mean(scalars_sum), bank)), mean(grads_sum)
+
+
 def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
                     optimizer: optax.GradientTransformation, frozen: Dict,
                     with_masks: bool = False, mesh=None) -> Callable:
@@ -109,7 +169,8 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
                 jax.lax.stop_gradient(t2q), method=model.compute_masks)
             losses.update(crit.mask_losses(
                 pred_masks_sel, batch["gt_masks"], batch["box_valid"],
-                batch["sample_valid"]))
+                batch["sample_valid"],
+                num_boxes=batch.get("num_boxes_override")))
         total = crit.total_loss(losses, weight_dict)
         scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
         scalars["loss"] = total
@@ -125,9 +186,11 @@ def make_train_step(model, cfg: Config, weight_dict: Dict[str, float],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = make_dropout_rng(rng, state.step,
                                     cfg.run.dropout_rng_impl)
-        (loss, (scalars, bank)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.cluster_bank, batch,
-                                   step_rng)
+        (loss, (scalars, bank)), grads = accumulate_gradients(
+            functools.partial(jax.value_and_grad(loss_fn, has_aux=True),
+                              state.params),
+            state.cluster_bank, batch, step_rng,
+            cfg.optim.grad_accum_steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         if cfg.run.shard_opt_state and mesh is not None:

@@ -103,6 +103,34 @@ def test_overfit_single_batch():
     assert 0 < max_diff < 1.0
 
 
+def test_bf16_moment_dtype():
+    """optim.moment_dtype="bfloat16" stores AdamW's first moment in bf16
+    (second moment stays f32) and the step still optimizes."""
+    cfg = dataclasses.replace(
+        CFG, optim=dataclasses.replace(CFG.optim, moment_dtype="bfloat16"))
+    model = build_model(cfg.model, text_vocab_size=600, tiny_text=True,
+                        backbone_norm="group_norm")
+    batch = synthetic_batch(B=2)
+    wd = build_weight_dict(cfg.loss, masks=False, num_dec_layers=2)
+    optimizer = make_optimizer(cfg.optim, 10, 100)
+    state, frozen = init_train_state(model, cfg, optimizer, batch, seed=0)
+    dtypes = [str(l.dtype) for l in jax.tree_util.tree_leaves(state.opt_state)
+              if hasattr(l, "dtype") and l.ndim > 0]
+    assert "bfloat16" in dtypes and "float32" in dtypes
+    step = make_train_step(model, cfg, wd, optimizer, frozen)
+    rng = jax.random.PRNGKey(0)
+    state, sc0 = step(state, batch, rng)
+    first = float(sc0["loss"])
+    for _ in range(7):
+        state, sc = step(state, batch, rng)
+    assert bool(sc["loss_is_finite"])
+    assert float(sc["loss"]) < first
+    # Moments keep their dtype through the update.
+    dtypes2 = {str(l.dtype) for l in jax.tree_util.tree_leaves(state.opt_state)
+               if hasattr(l, "dtype") and l.ndim > 0}
+    assert "bfloat16" in dtypes2
+
+
 def test_grad_accum_matches_full_batch():
     """optim.grad_accum_steps=2 over a 4-sample batch produces the same
     post-step parameters as one step over the full batch: the per-microbatch

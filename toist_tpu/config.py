@@ -140,6 +140,11 @@ class OptimConfig:
     # reference's 6-GPU global batch (e.g. 6 x 6 = accum 6 at batch 6).
     # No reference flag — the reference scales only by adding GPUs.
     grad_accum_steps: int = 1
+    # AdamW first-moment dtype ("float32" | "bfloat16"). bfloat16 halves mu
+    # HBM traffic/storage (~370 MB at flagship scale); f32 default matches
+    # the reference's torch AdamW state exactly. (The second moment stays
+    # f32 — its dynamic range drives update stability.)
+    moment_dtype: str = "float32"
     ema_decay: float = 0.9998
     fraction_warmup_steps: float = 0.01
     schedule: str = "linear_with_warmup" # {step, multistep, linear_with_warmup, all_linear_with_warmup}

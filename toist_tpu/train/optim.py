@@ -121,8 +121,12 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int, total_steps: int,
     schedules = make_schedules(cfg, steps_per_epoch, total_steps)
 
     def group(name):
+        # mu_dtype="bfloat16" (optim.moment_dtype) halves the first-moment
+        # HBM traffic and storage (370 MB at flagship scale); the reference
+        # keeps f32 torch AdamW state, so f32 stays the default.
         tx = optax.adamw(learning_rate=schedules[name],
-                         weight_decay=cfg.weight_decay)
+                         weight_decay=cfg.weight_decay,
+                         mu_dtype=getattr(cfg, "moment_dtype", "float32"))
         if name == "frozen":
             tx = optax.set_to_zero()
         return tx

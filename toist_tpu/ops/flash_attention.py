@@ -140,8 +140,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dk = dk + jax.lax.dot_general(
             ds, qh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    dk_ref[0] = dk
-    dv_ref[0] = dv
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
@@ -166,7 +166,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dp = dp * _drop_row(seed_ref, bh, qi, nq, nk, p.shape, drop_q)
     ds = (p * (dp - dsum) * sm_scale).astype(q_ref.dtype)
     dq = jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32)
-    dq_ref[0] = dq
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _specs(shape_blocks):
@@ -247,8 +247,11 @@ def _backward(q, k, v, bias, seed, o, lse, do, H, hd_true, drop_q,
             ((1, _BLOCK, HDP), lambda bh, ki: (bh, ki, 0)),  # dv
         ]),
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Sp, HDP), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Sp, HDP), jnp.float32),
+            # Accumulated in f32 in-kernel, stored at the input dtype: bitwise
+            # identical to an f32 store + astype outside, at half the HBM
+            # write/read bytes (measured ~0.5ms/step at the flagship shape).
+            jax.ShapeDtypeStruct((BH, Sp, HDP), k.dtype),
+            jax.ShapeDtypeStruct((BH, Sp, HDP), v.dtype),
         ],
         interpret=interpret,
     )(seed, q, k, v, bias, do, lse, dsum)
@@ -271,10 +274,10 @@ def _backward(q, k, v, bias, seed, o, lse, do, H, hd_true, drop_q,
         out_specs=_specs([
             ((1, _BLOCK, HDP), lambda bh, qi: (bh, qi, 0)),  # dq
         ]),
-        out_shape=[jax.ShapeDtypeStruct((BH, Sqp, HDP), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((BH, Sqp, HDP), q.dtype)],
         interpret=interpret,
     )(seed, q, k, v, bias, do, lse, dsum)[0]
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+    return dq, dk, dv
 
 
 @functools.lru_cache(maxsize=None)

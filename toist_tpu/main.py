@@ -120,6 +120,10 @@ def main(cfg: Config) -> Optional[float]:
     mesh = mesh_lib.make_mesh(cfg.run.mesh_shape, cfg.run.mesh_axes)
     tokenizer, model, train_spec, eval_spec = build_all(cfg, mesh=mesh)
     jsonl = JsonlLogger(cfg.run.output_dir)
+    # TensorBoard event files next to log.jsonl (reference main.py:593 writes
+    # them into output_dir; rank-gated like its is_main_process guard).
+    from toist_tpu.utils.tensorboard import SummaryWriter
+    tb = SummaryWriter(cfg.run.output_dir)
 
     train_sets = []
     if not cfg.run.eval_only:
@@ -258,7 +262,7 @@ def main(cfg: Config) -> Optional[float]:
                                    with_masks=cfg.model.masks)
     rng = jax.random.PRNGKey(cfg.run.seed)
 
-    def run_eval(params) -> float:
+    def run_eval(params, epoch: int = 0) -> float:
         results = engine.evaluate(
             eval_step, params, val_sets, eval_spec,
             batch_size=cfg.optim.valid_batch_size, mesh=mesh,
@@ -267,6 +271,17 @@ def main(cfg: Config) -> Optional[float]:
         jsonl.write({"kind": "eval", "mean_ap50": m,
                      "per_task": {t: {k: v.tolist() for k, v in s.items()}
                                   for t, s in results.items()}})
+        # Reference TB tags: mean + per-task AP@0.5 (main.py:697-711).
+        row = {"map@0.5_bbox": m}
+        for t, stats in results.items():
+            row[f"{t:02d}_ap@0.5_bbox"] = float(stats["bbox"][1])
+            if "segm" in stats:
+                row[f"{t:02d}_ap@0.5_masks"] = float(stats["segm"][1])
+        if cfg.model.masks and results:
+            row["map@0.5_masks"] = float(
+                np.mean([s["segm"][1] for s in results.values()
+                         if "segm" in s]))
+        tb.add_scalars(row, step=epoch)
         return m
 
     if cfg.run.eval_only:
@@ -281,7 +296,7 @@ def main(cfg: Config) -> Optional[float]:
         with trace(cfg.run.profile_dir if epoch == start_epoch else None):
             state, train_stats = engine.train_one_epoch(
                 train_step, state, train_iter, epoch, rng, mesh=mesh,
-                jsonl=jsonl)
+                jsonl=jsonl, tb=tb)
         jsonl.write({"kind": "epoch", "epoch": epoch,
                      "seconds": time.time() - t0, **train_stats})
         if cfg.run.output_dir and jax.process_index() == 0:
@@ -290,7 +305,7 @@ def main(cfg: Config) -> Optional[float]:
                       async_save=cfg.run.async_checkpoint)
         if epoch % cfg.optim.eval_skip == 0:
             params = state.ema_params if cfg.optim.ema else state.params
-            m = run_eval(params)
+            m = run_eval(params, epoch=epoch)
             if m > best_map and cfg.run.output_dir and jax.process_index() == 0:
                 best_map = m
                 ckpt.save(os.path.join(cfg.run.output_dir, "BEST_checkpoint"),

@@ -20,7 +20,7 @@ from toist_tpu.utils.logging import JsonlLogger, MetricLogger
 def train_one_epoch(train_step: Callable, state, batch_iter: BatchIterator,
                     epoch: int, rng, mesh=None,
                     jsonl: Optional[JsonlLogger] = None,
-                    print_freq: int = 10):
+                    tb=None, print_freq: int = 10):
     logger = MetricLogger(print_freq=print_freq, header=f"Epoch [{epoch}]")
     n_batches = len(batch_iter)
     # Host syncs are expensive; fetch scalars (and run the NaN guard,
@@ -41,13 +41,28 @@ def train_one_epoch(train_step: Callable, state, batch_iter: BatchIterator,
                                       "loss_giou", "grad_norm",
                                       "loss_contrastive_align",
                                       "loss_mask", "loss_dice")})
-            if jsonl is not None:
+            if jsonl is not None or tb is not None:
                 # Small vector scalars (e.g. per-task bank telemetry) are
                 # logged as lists alongside the true scalars.
                 vecs = {k: np.asarray(v).tolist() for k, v in scalars.items()
                         if np.ndim(v) == 1 and np.size(v) <= 16}
-                jsonl.write({"kind": "train_step", "epoch": epoch,
-                             "step": int(state.step), **host, **vecs})
+                if jsonl is not None:
+                    jsonl.write({"kind": "train_step", "epoch": epoch,
+                                 "step": int(state.step), **host, **vecs})
+                if tb is not None:
+                    # Reference tags: 'training_loss' + each weighted loss
+                    # (engine.py:108-111); bank telemetry per task
+                    # ('full_label_N'/'update_count_N', engine.py:190-193).
+                    row = {"training_loss": host["loss"]} if "loss" in host \
+                        else {}
+                    row.update({k: v for k, v in host.items()
+                                if k.startswith("loss_")
+                                and k != "loss_is_finite"})
+                    for name, tag in (("bank_update_count", "update_count"),
+                                      ("bank_full", "full_label")):
+                        for j, v in enumerate(vecs.get(name, [])):
+                            row[f"{tag}_{j + 1}"] = v
+                    tb.add_scalars(row, step=int(state.step))
         i += 1
     # Global (cross-host) epoch stats, incl. iter_time/data_time — the epoch
     # jsonl record carries the data-wait evidence (util/metrics.py:34-46).

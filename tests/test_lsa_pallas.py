@@ -38,3 +38,30 @@ def test_pallas_matches_xla_solver():
                                           interpret=True))
     # Continuous costs: unique optimum, assignments identical.
     np.testing.assert_array_equal(a, b)
+
+
+def test_lsa_backend_policy():
+    from toist_tpu.ops.matching import _lsa_backend_for
+
+    # Forced backends win regardless of context.
+    assert _lsa_backend_for(100, "xla", "tpu", 1) == "xla"
+    assert _lsa_backend_for(25, "pallas", "cpu", 8) == "pallas"
+    # auto: Pallas only for big solves on a single-device TPU.
+    assert _lsa_backend_for(100, "auto", "tpu", 1) == "pallas"
+    assert _lsa_backend_for(25, "auto", "tpu", 1) == "xla"      # matching
+    assert _lsa_backend_for(100, "auto", "tpu", 8) == "xla"     # multi-dev
+    assert _lsa_backend_for(100, "auto", "cpu", 1) == "xla"     # tests/CPU
+
+
+def test_solve_lsa_auto_cpu_matches_vmap():
+    import jax
+
+    from toist_tpu.ops.lsa import solve_lsa
+    from toist_tpu.ops.matching import solve_lsa_auto
+
+    rng = np.random.default_rng(3)
+    cost = jnp.asarray(rng.normal(size=(4, 100, 100)).astype(np.float32))
+    n = jnp.asarray(np.array([100, 70, 0, 99], np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(solve_lsa_auto(cost, n)),
+        np.asarray(jax.vmap(solve_lsa)(cost, n)))

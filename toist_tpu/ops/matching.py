@@ -30,6 +30,44 @@ class MatchResult(NamedTuple):
     cost: jnp.ndarray        # [B, Q, T] float32 full cost matrix (for diagnostics)
 
 
+def _lsa_backend_for(n_rows: int, env: str, jax_backend: str,
+                     device_count: int) -> str:
+    """Backend policy for a batched [B, R, C] assignment solve.
+
+    env = TOIST_LSA_BACKEND: "xla" | "pallas" force a backend; "auto"
+    (default) picks by measurement (v5e, scripts/bench_matching.py +
+    /tmp-free repro in COMPONENTS.md):
+      * small-R solves (matching, R=25): XLA lockstep 2.46ms vs Pallas
+        2.30ms — not worth the extra Mosaic lowering; XLA.
+      * big-R solves (softkd FP re-pairing, R=100): the lockstep XLA whiles
+        degrade badly inside the full train step (59.8ms profiled vs 12.6ms
+        standalone — per-iteration overhead + VMEM pressure), while the
+        VMEM-resident Pallas kernel runs 4.5ms; Pallas.
+    Pallas requires a real TPU backend and, as a bare pallas_call with no
+    SPMD partitioning rule, a single device (multi-device meshes would
+    gather/replicate operands around it — see ops/flash_attention.py for the
+    shard_map treatment; the solve sits deep inside the criterion where no
+    mesh handle is available, so auto simply falls back to XLA there).
+    """
+    if env in ("xla", "pallas"):
+        return env
+    if jax_backend == "tpu" and device_count == 1 and n_rows >= 64:
+        return "pallas"
+    return "xla"
+
+
+def solve_lsa_auto(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
+    """Batched assignment solve [B, R, C] -> [B, R] under the backend policy."""
+    import os
+    backend = _lsa_backend_for(
+        cost.shape[1], os.environ.get("TOIST_LSA_BACKEND", "auto"),
+        jax.default_backend(), jax.device_count())
+    if backend == "pallas":
+        from toist_tpu.ops.lsa_pallas import solve_lsa_batch_pallas
+        return solve_lsa_batch_pallas(cost, n_rows)
+    return jax.vmap(solve_lsa)(cost, n_rows)
+
+
 def match_costs(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
                 tgt_boxes: jnp.ndarray, positive_map: jnp.ndarray,
                 cost_class: float, cost_bbox: float, cost_giou: float) -> jnp.ndarray:
@@ -74,21 +112,12 @@ def hungarian_match(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     cost_t = jnp.take_along_axis(
         jnp.swapaxes(cost, 1, 2), order[:, :, None], axis=1)          # [B, T, Q]
     # Padded target rows get zero cost rows (ignored by solver via n_rows).
-    # Backend decision, measured on v5e at the flagship train shape (L6xB6
-    # Q100 T25, scripts/bench_matching.py): the VMEM-resident Pallas kernel
-    # (ops/lsa_pallas.py, bitwise-identical) runs 2.30ms vs 2.46ms for the
-    # vmapped XLA solver — but its Mosaic lowering adds ~245s of host-side
-    # trace time to EVERY train-step compile (measured: train_step.lower()
-    # 279s with pallas vs 34s with xla), which at 0.16ms/step saved only
-    # amortizes past ~1.5M steps. XLA is therefore the default;
-    # TOIST_LSA_BACKEND=pallas opts in for long runs.
-    import os
-    backend = os.environ.get("TOIST_LSA_BACKEND", "xla")
-    if backend == "pallas":
-        from toist_tpu.ops.lsa_pallas import solve_lsa_batch_pallas
-        assigned = solve_lsa_batch_pallas(cost_t, n_valid)            # [B, T]
-    else:
-        assigned = jax.vmap(solve_lsa)(cost_t, n_valid)               # [B, T]
+    # Backend via _lsa_backend_for: at this shape (R=25) auto stays on the
+    # XLA lockstep solver (2.46 vs 2.30ms; the Pallas kernel's Mosaic
+    # lowering measured ~245s of extra host trace time in the round-2
+    # train-step compile for a 0.16ms/step win). TOIST_LSA_BACKEND=pallas
+    # forces the kernel for long runs.
+    assigned = solve_lsa_auto(cost_t, n_valid)                        # [B, T]
     # Scatter back to original target order.
     tgt2query = jnp.full(tgt_valid.shape, -1, jnp.int32)
     tgt2query = jax.vmap(lambda t2q, o, a: t2q.at[o].set(a))(tgt2query, order, assigned)

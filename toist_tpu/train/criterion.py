@@ -276,8 +276,15 @@ def _softkd_per_image(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
     matched to the same target in the two streams. FP pairs: remaining queries
     re-paired by a second assignment over KL + L1 + (-GIoU) (softkd_matcher
     :520-541, unit weights). KL(teacher||student) per pair.
+
+    The FP solve is [L*B, ~100, 100] — the largest assignment in the
+    framework. Profiled inside the distillation step (scripts/
+    prof_distill_ops.py, v5e): the lockstep XLA solver spent 59.8ms/step in
+    serial while-iterations; the VMEM-resident Pallas kernel runs it in
+    4.5ms with identical assignments, so solve_lsa_auto dispatches to Pallas
+    on single-device TPU (TOIST_LSA_BACKEND overrides).
     """
-    from toist_tpu.ops.lsa import solve_lsa
+    from toist_tpu.ops.matching import solve_lsa_auto
 
     B, Q = noun_logits.shape[:2]
     N = t2q_noun.shape[1]
@@ -319,8 +326,11 @@ def _softkd_per_image(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
     # Invalid (matched) columns must not be assigned to valid FP rows.
     col_invalid = jnp.arange(Q)[None, :] >= n_fp[:, None]
     cost = jnp.where(col_invalid[:, None, :], 1e6, cost)
-    assign = jax.lax.stop_gradient(
-        jax.vmap(solve_lsa)(cost, n_fp))                          # [B, Q]
+    # stop_gradient on the INPUTS, not just the output: the integer
+    # assignment is non-differentiable anyway (reference softkd_matcher is
+    # @no_grad) and zero-tangent inputs let the Pallas backend run under
+    # value_and_grad (pallas_call has no JVP rule).
+    assign = solve_lsa_auto(jax.lax.stop_gradient(cost), n_fp)    # [B, Q]
     paired_noun = _gather_queries(fpn_bi, assign)                 # [B, Q, 2]
     fp_row_valid = (jnp.arange(Q)[None, :] < n_fp[:, None]) & \
         sample_valid[:, None]

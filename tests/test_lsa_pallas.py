@@ -46,8 +46,9 @@ def test_lsa_backend_policy():
     # Forced backends win regardless of context.
     assert _lsa_backend_for(100, "xla", "tpu", 1) == "xla"
     assert _lsa_backend_for(25, "pallas", "cpu", 8) == "pallas"
-    # auto: Pallas only for big solves on a single-device TPU.
-    assert _lsa_backend_for(100, "auto", "tpu", 1) == "pallas"
+    # auto: XLA everywhere (48-step A/B was a wash; XLA is SPMD-safe and
+    # pays no Mosaic lowering — see _lsa_backend_for docstring).
+    assert _lsa_backend_for(100, "auto", "tpu", 1) == "xla"
     assert _lsa_backend_for(25, "auto", "tpu", 1) == "xla"      # matching
     assert _lsa_backend_for(100, "auto", "tpu", 8) == "xla"     # multi-dev
     assert _lsa_backend_for(100, "auto", "cpu", 1) == "xla"     # tests/CPU

@@ -35,24 +35,24 @@ def _lsa_backend_for(n_rows: int, env: str, jax_backend: str,
     """Backend policy for a batched [B, R, C] assignment solve.
 
     env = TOIST_LSA_BACKEND: "xla" | "pallas" force a backend; "auto"
-    (default) picks by measurement (v5e, scripts/bench_matching.py +
-    /tmp-free repro in COMPONENTS.md):
-      * small-R solves (matching, R=25): XLA lockstep 2.46ms vs Pallas
-        2.30ms — not worth the extra Mosaic lowering; XLA.
-      * big-R solves (softkd FP re-pairing, R=100): the lockstep XLA whiles
-        degrade badly inside the full train step (59.8ms profiled vs 12.6ms
-        standalone — per-iteration overhead + VMEM pressure), while the
-        VMEM-resident Pallas kernel runs 4.5ms; Pallas.
-    Pallas requires a real TPU backend and, as a bare pallas_call with no
-    SPMD partitioning rule, a single device (multi-device meshes would
-    gather/replicate operands around it — see ops/flash_attention.py for the
-    shard_map treatment; the solve sits deep inside the criterion where no
-    mesh handle is available, so auto simply falls back to XLA there).
+    (default) = XLA everywhere, by measurement:
+      * matching (R=25, L6xB6): XLA lockstep 2.46ms vs Pallas 2.30ms
+        (scripts/bench_matching.py) — not worth the extra Mosaic lowering.
+      * softkd FP re-pairing (R=100, [18,100,100]): on STANDALONE inputs the
+        VMEM-resident Pallas kernel wins clearly (4.5ms vs 12.6ms lockstep,
+        and a 3-step profile snapshot suggested ~60ms of in-step XLA
+        whiles). But the solve is data-dependent: A/B over 48 real training
+        steps (v5e, /tmp-style repro recorded in COMPONENTS.md) averaged
+        182.6ms/step (pallas) vs 178.3ms/step (xla) with per-window swings
+        of +-15% in both directions — a wash. XLA stays the default: it
+        needs no Mosaic lowering and, unlike a bare pallas_call (no SPMD
+        partitioning rule), is safe under multi-device meshes.
+    Pallas additionally requires a real single-device TPU backend; forcing
+    it elsewhere is the caller's responsibility (tests use interpret mode).
     """
     if env in ("xla", "pallas"):
         return env
-    if jax_backend == "tpu" and device_count == 1 and n_rows >= 64:
-        return "pallas"
+    del n_rows, jax_backend, device_count  # reserved for future policies
     return "xla"
 
 

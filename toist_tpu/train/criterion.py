@@ -278,11 +278,9 @@ def _softkd_per_image(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
     :520-541, unit weights). KL(teacher||student) per pair.
 
     The FP solve is [L*B, ~100, 100] — the largest assignment in the
-    framework. Profiled inside the distillation step (scripts/
-    prof_distill_ops.py, v5e): the lockstep XLA solver spent 59.8ms/step in
-    serial while-iterations; the VMEM-resident Pallas kernel runs it in
-    4.5ms with identical assignments, so solve_lsa_auto dispatches to Pallas
-    on single-device TPU (TOIST_LSA_BACKEND overrides).
+    framework and strongly data-dependent (see _lsa_backend_for for the
+    measured XLA-vs-Pallas A/B across real training steps; solve_lsa_auto
+    defaults to the XLA lockstep solver, TOIST_LSA_BACKEND overrides).
     """
     from toist_tpu.ops.matching import solve_lsa_auto
 

@@ -249,3 +249,28 @@ def test_frozen_detector_backward_is_dce(seg_cfg=None):
     # NOT needed once the trunk grad is dead -> exactly 4 would mean the
     # trunk backward survived; expect 3.
     assert uses == 3, jaxpr
+
+
+def test_engine_nan_hard_stop():
+    """Non-finite loss kills training with exit code 1 (reference
+    engine.py:82-85 sys.exit on the NaN guard)."""
+    from toist_tpu.train import engine
+
+    class FakeState:
+        step = 0
+
+    class FakeIter:
+        def __len__(self):
+            return 1
+
+        def epoch(self, e):
+            yield {"images": np.zeros((1,))}
+
+    def nan_step(state, batch, rng):
+        return FakeState(), {"loss": np.float32(np.nan),
+                             "loss_is_finite": np.float32(0.0)}
+
+    with pytest.raises(SystemExit) as ex:
+        engine.train_one_epoch(nan_step, FakeState(), FakeIter(), epoch=0,
+                               rng=None, print_freq=1)
+    assert ex.value.code == 1

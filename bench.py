@@ -714,6 +714,19 @@ def run_stage(stage: str):
         out = {"steps_per_sec": round(s, 3), "imgs_per_sec": round(i, 2),
                "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2)}
+    elif stage == "train_scaling":
+        # Opt-in (not in the default matrix — two extra train compiles):
+        # batch-scaling probe behind the COMPONENTS.md envelope rows. The
+        # fixed per-step overhead that caps batch 6 amortizes by batch >=12.
+        global BENCH_TRAIN_BATCH
+        out = {}
+        for B in (12, 16):
+            BENCH_TRAIN_BATCH = B
+            s, i, tf, cats = measure_train()
+            out[f"batch_{B}"] = {
+                "imgs_per_sec": round(i, 2),
+                "mfu_pct": round(100 * tf / peak, 2),
+                "device_ms_per_iter": (cats or {}).get("_device_ms_per_iter")}
     else:
         raise SystemExit(f"unknown stage {stage}")
     print(json.dumps(out))

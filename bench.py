@@ -715,12 +715,14 @@ def run_stage(stage: str):
                "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2)}
     elif stage == "train_scaling":
-        # Opt-in (not in the default matrix — two extra train compiles):
+        # Opt-in (not in the default matrix — extra train compiles):
         # batch-scaling probe behind the COMPONENTS.md envelope rows. The
-        # fixed per-step overhead that caps batch 6 amortizes by batch >=12.
+        # reference's per-GPU batch 6 is sublane-misaligned on TPU (pads to
+        # 8 in tiled layouts): batch 8 runs the step FASTER in absolute ms
+        # than batch 6; fixed overhead amortizes further by batch >=12.
         global BENCH_TRAIN_BATCH
         out = {}
-        for B in (12, 16):
+        for B in (8, 12, 16):
             BENCH_TRAIN_BATCH = B
             s, i, tf, cats = measure_train()
             out[f"batch_{B}"] = {

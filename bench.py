@@ -253,10 +253,10 @@ def _profile_device_ms(run_n_steps, n: int = 3):
         return None
 
 
-def measure_seg_train():
+def measure_seg_train(B: int = 2):
     """Segmentation train step: batch 2, frozen detector, no aux loss
     (reference scripts/train_seg.sh:1-12). Returns (steps/s, img/s, tflops/s,
-    device_ms_per_iter).
+    device_ms_per_iter, flops/step).
     """
     import jax
     import jax.numpy as jnp
@@ -269,7 +269,6 @@ def measure_seg_train():
     from toist_tpu.train.optim import make_optimizer
     from toist_tpu.train.step import init_train_state, make_train_step
 
-    B = 2
     cfg = Config(model=ModelConfig(contrastive_align_loss=True,
                                    mask_model="smallconv", masks=True,
                                    frozen_detector=True),

@@ -407,7 +407,7 @@ def measure_seg_eval():
             post_ms / n_iter * 1e3, worst_ms, breakdown)
 
 
-def measure_dis_train():
+def measure_dis_train(B: int = 3):
     """Noun-pronoun distillation train step: batch 3 x 2 paired streams, dual
     models, softkd + nsthl2 + cluster bank (scripts/train_dete_dis.sh).
     Returns (steps/s, img/s counting both streams, tflops/s).
@@ -431,7 +431,6 @@ def measure_dis_train():
     from toist_tpu.train.step import (init_train_state, init_variables,
                                       split_variables)
 
-    B = 3
     cfg = Config(
         model=ModelConfig(contrastive_align_loss=True),
         optim=OptimConfig(train_batch_size=B),

@@ -60,15 +60,18 @@ def _flops_of(compiled) -> float:
 
 
 def _chain_images(images, chain):
-    """Data-dependent no-op perturbation for benchmark loops.
+    """Data-dependent sequencing of benchmark iterations.
 
-    Preserves the image dtype: u8 canvases stay u8 (adding a dependent zero)
-    so the measured path includes the on-device normalize, while f32 images
-    get the non-foldable epsilon."""
-    import jax.numpy as jnp
-    if images.dtype == jnp.uint8:
-        return images + (chain * 0).astype(jnp.uint8)
-    return images + chain * 1e-30
+    Ties the iteration's compute to the previous iteration's output via
+    lax.optimization_barrier: the barrier's image output cannot start before
+    `chain` is ready and no simplification pass may elide it (that is the
+    op's contract) — unlike the previous `images + (chain * 0).astype(u8)`
+    trick, which relied on XLA not folding a float multiply-by-zero and made
+    a NaN chain flow through an implementation-defined float->u8 convert.
+    Exactly identity on the image values, any dtype."""
+    import jax
+    images, _ = jax.lax.optimization_barrier((images, chain))
+    return images
 
 
 def measure_eval():

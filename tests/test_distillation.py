@@ -310,3 +310,16 @@ def test_distillation_train_step():
     res = eval_step(state.params, state.cluster_bank, batches["sth"])
     assert np.isfinite(float(res["scalars"]["loss"]))
     assert res["post"]["scores"].shape == (2, DIS_CFG.model.num_queries)
+
+    # Serving fast path (run.compute_eval_losses=False): identical
+    # predictions, no loss scalars, criterion (incl. the 6-level Hungarian
+    # solve) skipped entirely.
+    fast_cfg = DIS_CFG.replace(
+        run=dataclasses.replace(DIS_CFG.run, compute_eval_losses=False))
+    fast_step = make_cluster_eval_step(model, fast_cfg, wd, frozen)
+    fast = fast_step(state.params, state.cluster_bank, batches["sth"])
+    assert fast["scalars"] == {}
+    np.testing.assert_allclose(np.asarray(fast["post"]["scores"]),
+                               np.asarray(res["post"]["scores"]))
+    np.testing.assert_allclose(np.asarray(fast["post"]["boxes"]),
+                               np.asarray(res["post"]["boxes"]))

@@ -43,15 +43,27 @@ def test_pallas_matches_xla_solver():
 def test_lsa_backend_policy():
     from toist_tpu.ops.matching import _lsa_backend_for
 
-    # Forced backends win regardless of context.
-    assert _lsa_backend_for(100, "xla", "tpu", 1) == "xla"
-    assert _lsa_backend_for(25, "pallas", "cpu", 8) == "pallas"
+    # Forced xla wins regardless of context.
+    assert _lsa_backend_for("softkd", "xla", "tpu", 1) == "xla"
+    # "pallas" is the documented opt-in for the small Hungarian solve ONLY;
+    # softkd stays on XLA (the 48-step A/B measured it a wash there).
+    assert _lsa_backend_for("match", "pallas", "tpu", 1) == "pallas"
+    assert _lsa_backend_for("softkd", "pallas", "tpu", 1) == "xla"
+    # Per-site syntax reaches each solve independently.
+    assert _lsa_backend_for("softkd", "softkd:pallas", "tpu", 1) == "pallas"
+    assert _lsa_backend_for("match", "softkd:pallas", "tpu", 1) == "xla"
+    assert _lsa_backend_for(
+        "match", "match:pallas,softkd:pallas", "tpu", 1) == "pallas"
+    # pallas is downgraded (with a warning) under multi-device meshes: a bare
+    # pallas_call has no SPMD partitioning rule under pjit.
+    with pytest.warns(UserWarning, match="SPMD"):
+        assert _lsa_backend_for("match", "pallas", "tpu", 8) == "xla"
     # auto: XLA everywhere (48-step A/B was a wash; XLA is SPMD-safe and
     # pays no Mosaic lowering — see _lsa_backend_for docstring).
-    assert _lsa_backend_for(100, "auto", "tpu", 1) == "xla"
-    assert _lsa_backend_for(25, "auto", "tpu", 1) == "xla"      # matching
-    assert _lsa_backend_for(100, "auto", "tpu", 8) == "xla"     # multi-dev
-    assert _lsa_backend_for(100, "auto", "cpu", 1) == "xla"     # tests/CPU
+    assert _lsa_backend_for("softkd", "auto", "tpu", 1) == "xla"
+    assert _lsa_backend_for("match", "auto", "tpu", 1) == "xla"
+    assert _lsa_backend_for("softkd", "auto", "tpu", 8) == "xla"
+    assert _lsa_backend_for("softkd", "auto", "cpu", 1) == "xla"
 
 
 def test_solve_lsa_auto_cpu_matches_vmap():

@@ -30,37 +30,65 @@ class MatchResult(NamedTuple):
     cost: jnp.ndarray        # [B, Q, T] float32 full cost matrix (for diagnostics)
 
 
-def _lsa_backend_for(n_rows: int, env: str, jax_backend: str,
+def _lsa_backend_for(site: str, env: str, jax_backend: str,
                      device_count: int) -> str:
     """Backend policy for a batched [B, R, C] assignment solve.
 
-    env = TOIST_LSA_BACKEND: "xla" | "pallas" force a backend; "auto"
-    (default) = XLA everywhere, by measurement:
-      * matching (R=25, L6xB6): XLA lockstep 2.46ms vs Pallas 2.30ms
-        (scripts/bench_matching.py) — not worth the extra Mosaic lowering.
-      * softkd FP re-pairing (R=100, [18,100,100]): on STANDALONE inputs the
-        VMEM-resident Pallas kernel wins clearly (4.5ms vs 12.6ms lockstep,
-        and a 3-step profile snapshot suggested ~60ms of in-step XLA
-        whiles). But the solve is data-dependent: A/B over 48 real training
-        steps (v5e, /tmp-style repro recorded in COMPONENTS.md) averaged
-        182.6ms/step (pallas) vs 178.3ms/step (xla) with per-window swings
-        of +-15% in both directions — a wash. XLA stays the default: it
-        needs no Mosaic lowering and, unlike a bare pallas_call (no SPMD
-        partitioning rule), is safe under multi-device meshes.
-    Pallas additionally requires a real single-device TPU backend; forcing
-    it elsewhere is the caller's responsibility (tests use interpret mode).
+    site: "match" (hungarian_match, R=25) | "softkd" (criterion FP
+    re-pairing, R=100). env = TOIST_LSA_BACKEND:
+      * "auto"/"" (default) = XLA everywhere, by measurement:
+        - matching (R=25, L6xB6): XLA lockstep 2.46ms vs Pallas 2.30ms
+          (scripts/bench_matching.py) — not worth the extra Mosaic lowering.
+        - softkd FP re-pairing (R=100, [18,100,100]): on STANDALONE inputs
+          the VMEM-resident Pallas kernel wins clearly (4.5ms vs 12.6ms
+          lockstep, and a 3-step profile snapshot suggested ~60ms of
+          in-step XLA whiles). But the solve is data-dependent: A/B over
+          48 real training steps (v5e, repro recorded in COMPONENTS.md)
+          averaged 182.6ms/step (pallas) vs 178.3ms/step (xla) with
+          per-window swings of +-15% in both directions — a wash. XLA
+          stays the default: no Mosaic lowering, and unlike a bare
+          pallas_call (no SPMD partitioning rule) it is safe under
+          multi-device meshes.
+      * "xla" = XLA everywhere.
+      * "pallas" = Pallas for the "match" site ONLY (the documented
+        long-run opt-in for the small Hungarian solve); softkd stays on
+        XLA because the A/B measured it a wash there.
+      * per-site syntax "match:pallas,softkd:pallas" forces each site
+        independently (unlisted sites stay on auto).
+    A resolved "pallas" is downgraded to "xla" with a warning when
+    device_count > 1: a bare pallas_call inside pjit has no SPMD
+    partitioning rule and XLA would gather/replicate the operands around
+    it. Pallas additionally requires a real single-device TPU backend;
+    forcing it elsewhere is the caller's responsibility (tests use
+    interpret mode).
     """
-    if env in ("xla", "pallas"):
-        return env
-    del n_rows, jax_backend, device_count  # reserved for future policies
-    return "xla"
+    backend = "xla"
+    if ":" in env:
+        per_site = dict(
+            kv.split(":", 1) for kv in env.split(",") if ":" in kv)
+        backend = per_site.get(site, "xla")
+    elif env == "pallas":
+        backend = "pallas" if site == "match" else "xla"
+    elif env == "xla":
+        backend = "xla"
+    if backend == "pallas" and device_count > 1:
+        import warnings
+        warnings.warn(
+            f"TOIST_LSA_BACKEND forced pallas for site '{site}' but "
+            f"device_count={device_count}: bare pallas_call has no SPMD "
+            "partitioning rule under pjit; falling back to xla.",
+            stacklevel=3)
+        backend = "xla"
+    del jax_backend  # reserved for future policies
+    return backend
 
 
-def solve_lsa_auto(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
+def solve_lsa_auto(cost: jnp.ndarray, n_rows: jnp.ndarray,
+                   site: str = "match") -> jnp.ndarray:
     """Batched assignment solve [B, R, C] -> [B, R] under the backend policy."""
     import os
     backend = _lsa_backend_for(
-        cost.shape[1], os.environ.get("TOIST_LSA_BACKEND", "auto"),
+        site, os.environ.get("TOIST_LSA_BACKEND", "auto"),
         jax.default_backend(), jax.device_count())
     if backend == "pallas":
         from toist_tpu.ops.lsa_pallas import solve_lsa_batch_pallas

@@ -279,8 +279,10 @@ def _softkd_per_image(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
 
     The FP solve is [L*B, ~100, 100] — the largest assignment in the
     framework and strongly data-dependent (see _lsa_backend_for for the
-    measured XLA-vs-Pallas A/B across real training steps; solve_lsa_auto
-    defaults to the XLA lockstep solver, TOIST_LSA_BACKEND overrides).
+    measured XLA-vs-Pallas A/B across real training steps, which was a wash
+    here). site="softkd": TOIST_LSA_BACKEND=pallas deliberately does NOT
+    reach this solve; forcing it needs the per-site syntax
+    "softkd:pallas" and is unsafe under multi-device meshes.
     """
     from toist_tpu.ops.matching import solve_lsa_auto
 
@@ -328,7 +330,8 @@ def _softkd_per_image(noun_logits: jnp.ndarray, sth_logits: jnp.ndarray,
     # assignment is non-differentiable anyway (reference softkd_matcher is
     # @no_grad) and zero-tangent inputs let the Pallas backend run under
     # value_and_grad (pallas_call has no JVP rule).
-    assign = solve_lsa_auto(jax.lax.stop_gradient(cost), n_fp)    # [B, Q]
+    assign = solve_lsa_auto(jax.lax.stop_gradient(cost), n_fp,
+                            site="softkd")                        # [B, Q]
     paired_noun = _gather_queries(fpn_bi, assign)                 # [B, Q, 2]
     fp_row_valid = (jnp.arange(Q)[None, :] < n_fp[:, None]) & \
         sample_valid[:, None]

@@ -186,7 +186,13 @@ def make_cluster_eval_step(model, cfg: Config, weight_dict: Dict[str, float],
                            frozen: Dict) -> Callable:
     """Eval with infer_choice snapping between encode and decode
     (reference engine.py:288-291 + mdetr.py:282-312). Bank is read-only except
-    for the center warm-start refresh, which is discarded."""
+    for the center warm-start refresh, which is discarded.
+
+    run.compute_eval_losses=False skips the criterion like make_eval_step does
+    (train/step.py) — the cluster path pays the largest 6-level Hungarian
+    solve, so serving eval gains the most from turning it off; predictions and
+    COCO metrics are unaffected (the reference always pays it for loss
+    logging, engine.py:300-305)."""
     lcfg = cfg.loss
 
     @jax.jit
@@ -198,11 +204,15 @@ def make_cluster_eval_step(model, cfg: Config, weight_dict: Dict[str, float],
         cache = dict(cache)
         cache["img_memory_mod"] = mod
         out = _apply_decode(model, params, frozen, cache, None, True, True)
-        losses = crit.set_criterion(out, batch, lcfg)
         post = postprocess_boxes(out["pred_logits"], out["pred_boxes"],
                                  batch["orig_size"])
-        scalars = {k: v for k, v in losses.items() if not k.startswith("_")}
-        scalars["loss"] = crit.total_loss(losses, weight_dict)
+        if cfg.run.compute_eval_losses:
+            losses = crit.set_criterion(out, batch, lcfg)
+            scalars = {k: v for k, v in losses.items()
+                       if not k.startswith("_")}
+            scalars["loss"] = crit.total_loss(losses, weight_dict)
+        else:
+            scalars = {}
         result = {"post": post, "scalars": scalars}
         if cfg.model.masks:
             result["pred_masks"] = model.apply(

@@ -318,17 +318,20 @@ def measure_seg_train(B: int = 2):
 def measure_seg_eval():
     """Segmentation eval: batch 4 forward + all-query mask head + device mask
     postprocess + host RLE (reference scripts/eval_seg.sh). Returns
-    (img/s end-to-end, device tflops/s, postprocess_ms_per_batch on
-    COCO-like blob masks, worstcase_ms on random-init salt-and-pepper
-    masks)."""
+    (img/s end-to-end with the engine's double-buffered transfer overlap,
+    img/s with synchronous postprocess, device tflops/s,
+    postprocess_ms_per_batch on COCO-like blob masks, worstcase_ms on
+    random-init salt-and-pepper masks, breakdown)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     import __graft_entry__
     from toist_tpu.config import Config, LossConfig, ModelConfig, OptimConfig
-    from toist_tpu.models.postprocess import (postprocess_boxes,
-                                              postprocess_masks_device)
+    from toist_tpu.models.postprocess import (finish_masks_device,
+                                              postprocess_boxes,
+                                              postprocess_masks_device,
+                                              start_masks_device)
     from toist_tpu.models.toist import build_model
     from toist_tpu.train.step import init_variables
 
@@ -405,14 +408,37 @@ def measure_seg_eval():
         assert len(rles) == B and rles[0] is not None
     np.asarray(chain)
     dt = time.time() - t0
+    sync_img_s = B * n_iter / dt
     breakdown = {k: v / n_iter for k, v in timing_acc.items()}
-    return (B * n_iter / dt, flops * n_iter / dt / 1e12,
+
+    # Overlapped loop (what engine.evaluate actually runs): the packed-bits
+    # pull of batch i is materialized only after batch i+1's forward has been
+    # dispatched, so the transfer rides alongside device compute.
+    pending = None
+    t0 = time.time()
+    for _ in range(n_iter):
+        post, masks, chain = eval_fwd(variables, args[0], chain, *args[1:])
+        handle = start_masks_device(blob_masks, batch["size"],
+                                    batch["orig_size"],
+                                    batch["sample_valid"])
+        if pending is not None:
+            rles = finish_masks_device(pending)
+            assert len(rles) == B and rles[0] is not None
+        pending = handle
+    rles = finish_masks_device(pending)
+    assert len(rles) == B and rles[0] is not None
+    np.asarray(chain)
+    dt = time.time() - t0
+    return (B * n_iter / dt, sync_img_s, flops * n_iter / dt / 1e12,
             post_ms / n_iter * 1e3, worst_ms, breakdown)
 
 
-def measure_dis_train(B: int = 3):
-    """Noun-pronoun distillation train step: batch 3 x 2 paired streams, dual
-    models, softkd + nsthl2 + cluster bank (scripts/train_dete_dis.sh).
+def measure_dis_train(B: int = 3, accum: int = 1):
+    """Noun-pronoun distillation train step: batch B x 2 paired streams
+    (default 3 x 2, the reference's per-GPU setting), dual models, softkd +
+    nsthl2 + cluster bank (scripts/train_dete_dis.sh). accum > 1 feeds a
+    global batch of B*accum x 2 split into B-sized microbatches inside the
+    step (exact-DDP-equivalent accumulation; train/step.py).
     Returns (steps/s, img/s counting both streams, tflops/s).
 
     No trace-derived device time here (unlike seg_train): at 170-230 ms the
@@ -436,19 +462,20 @@ def measure_dis_train(B: int = 3):
 
     cfg = Config(
         model=ModelConfig(contrastive_align_loss=True),
-        optim=OptimConfig(train_batch_size=B),
+        optim=OptimConfig(train_batch_size=B, grad_accum_steps=accum),
         loss=LossConfig(aux_loss=True, distillation=True, softkd_loss=True,
                         nsthl2_loss=True, cluster=True,
                         cluster_memory_size=1024, cluster_num=3))
     model = build_model(cfg.model, text_vocab_size=50265)
+    BG = B * accum  # global batch fed to the step
 
     def make(seed):
-        b = __graft_entry__._example_batch(B=B, H=TRAIN_H, W=TRAIN_W, N=25,
+        b = __graft_entry__._example_batch(B=BG, H=TRAIN_H, W=TRAIN_W, N=25,
                                            seed=seed)
         b["noun_token_spans"] = np.tile(np.array([[2, 3]], np.int32),
-                                        (B, 25, 1)).reshape(B, 25, 2)
-        b["caption_noun_span"] = np.full((B, 2), 2, np.int32)
-        b["task_id"] = (np.arange(B) % 14 + 1).astype(np.int32)
+                                        (BG, 25, 1)).reshape(BG, 25, 2)
+        b["caption_noun_span"] = np.full((BG, 2), 2, np.int32)
+        b["task_id"] = (np.arange(BG) % 14 + 1).astype(np.int32)
         return b
 
     noun, sth = make(1), make(2)
@@ -490,7 +517,7 @@ def measure_dis_train(B: int = 3):
     loss = float(np.asarray(scalars["loss"]))
     dt = time.time() - t0
     assert np.isfinite(loss), loss
-    return n_iter / dt, 2 * B * n_iter / dt, flops * n_iter / dt / 1e12
+    return n_iter / dt, 2 * BG * n_iter / dt, flops * n_iter / dt / 1e12
 
 
 def measure_pipeline(num_workers: int = 4, n_images: int = 240):
@@ -536,14 +563,23 @@ def measure_pipeline(num_workers: int = 4, n_images: int = 240):
                       refexp_ann_path=os.path.join(cache, "annotations"))
     out = {"num_workers": num_workers, "n_images": n_images,
            "image_hw": [480, 640], "host_cores": os.cpu_count()}
-    for label, masks in (("detection", False), ("segmentation", True)):
+    # Variants: thread workers on both tasks (the default mode), plus one
+    # process-worker row on detection — the mode exists for GIL-bound hosts
+    # (its determinism is tested) and needs a throughput number to justify
+    # itself; on this 1-core VM processes pay fork+pickle overhead with no
+    # parallelism to win back, so expect thread >= process here.
+    variants = [("detection", False, "thread"),
+                ("segmentation", True, "thread"),
+                ("detection", False, "process")]
+    for label, masks, mode in variants:
         ds = build_task_dataset(dcfg, 1, "train", tokenizer, masks=masks)
         spec = BucketSpec(buckets=train_buckets(dcfg.max_size,
                                                 dcfg.train_scales),
                           max_text_len=dcfg.max_text_len,
                           max_boxes=dcfg.max_boxes, with_masks=masks)
         it = BatchIterator([ds], spec, batch_size=BENCH_TRAIN_BATCH,
-                           seed=0, shuffle=True, num_workers=num_workers)
+                           seed=0, shuffle=True, num_workers=num_workers,
+                           worker_mode=mode)
         # This shared dev VM's single core varies ~1.7x across runs (measured
         # 47-82 img/s on identical code); take the best of two epochs so the
         # recorded host capability is less hostage to a slow-core sample, and
@@ -555,8 +591,9 @@ def measure_pipeline(num_workers: int = 4, n_images: int = 240):
             for batch in it.epoch(e):
                 n += int(batch["sample_valid"].sum())
             rates.append(n / (_time.time() - t0))
-        out[f"host_imgs_per_sec_{label}"] = round(max(rates), 2)
-        out[f"host_epoch_rates_{label}"] = [round(r, 2) for r in rates]
+        key = label if mode == "thread" else f"{label}_{mode}_workers"
+        out[f"host_imgs_per_sec_{key}"] = round(max(rates), 2)
+        out[f"host_epoch_rates_{key}"] = [round(r, 2) for r in rates]
     return out
 
 
@@ -666,6 +703,23 @@ def run_stage(stage: str):
     Stages run in separate processes because the chip cannot hold several
     train-sized executables at once (16GB HBM; see CLAUDE.md), and the TPU
     admits one process at a time — the parent stays off-device."""
+    if stage == "dis_scaling":
+        # Opt-in aggregator (no jax in THIS process — each row is a child,
+        # three dual-model executables would OOM the 16GB chip together):
+        # sublane-alignment probe for the distillation step. The reference's
+        # per-GPU 3x2 paired batch executes each stream as a padded 8 on
+        # v5e (8-wide sublanes pack the batch dim), wasting ~62% of every
+        # batch-dim tile in BOTH models' fwd+bwd — the same misalignment
+        # that held detection at 26% MFU until batch 8/16 (train_scaling).
+        # Rows: 8x2 (aligned per-step), 6x2 with accum 3 (the reference's
+        # GLOBAL 18x2 batch, exact hyperparameter parity, microbatch still
+        # misaligned), 8x2 with accum 2 (global 16x2, aligned microbatch at
+        # near-parity global batch).
+        out = {f"batch_{label}": _run_substage(f"dis_train:{B}:{accum}")
+               for label, B, accum in (("8x2", 8, 1), ("6x2_accum3", 6, 3),
+                                       ("8x2_accum2", 8, 2))}
+        print(json.dumps(out))
+        return
     import jax
 
     from toist_tpu.utils.compile_cache import enable_persistent_cache
@@ -700,8 +754,10 @@ def run_stage(stage: str):
             out["device_mfu_pct"] = round(
                 100 * flops / (dev_ms / 1e3) / 1e12 / peak, 2)
     elif stage == "seg_eval":
-        i, tf, post_ms, worst_ms, pbreak = measure_seg_eval()
-        out = {"imgs_per_sec": round(i, 2), "tflops_per_sec": round(tf, 2),
+        i, i_sync, tf, post_ms, worst_ms, pbreak = measure_seg_eval()
+        out = {"imgs_per_sec": round(i, 2),
+               "imgs_per_sec_sync_postprocess": round(i_sync, 2),
+               "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2),
                "mask_postprocess_ms_per_batch": round(post_ms, 1),
                "mask_postprocess_worstcase_ms_per_batch": round(worst_ms, 1),
@@ -712,6 +768,12 @@ def run_stage(stage: str):
                                          for k, v in pbreak.items()}}
     elif stage == "dis_train":
         s, i, tf = measure_dis_train()
+        out = {"steps_per_sec": round(s, 3), "imgs_per_sec": round(i, 2),
+               "tflops_per_sec": round(tf, 2),
+               "mfu_pct": round(100 * tf / peak, 2)}
+    elif stage.startswith("dis_train:"):
+        _, Bs, accums = stage.split(":")
+        s, i, tf = measure_dis_train(int(Bs), int(accums))
         out = {"steps_per_sec": round(s, 3), "imgs_per_sec": round(i, 2),
                "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2)}

@@ -1,6 +1,7 @@
 """Segmentation head tests: mask shapes, query-subset equivalence, training."""
 import dataclasses
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +74,72 @@ def test_mask_shapes_and_subset_equivalence(seg_model):
             np.testing.assert_allclose(
                 np.asarray(masks_sel[b, n]),
                 np.asarray(masks_all[b, int(idx[b, n])]), atol=1e-5)
+
+
+def test_folded_mask_head_matches_flat(seg_model):
+    """MaskHeadSmallConvFolded (query axis folded into channels — the TPU
+    layout) must produce the same logits as MaskHeadSmallConv from the SAME
+    parameter tree (checkpoint interchangeability)."""
+    model, state, frozen, _, batch = seg_model  # default layout: folded
+    flat_model = build_model(
+        dataclasses.replace(SEG_CFG.model, mask_head_layout="flat"),
+        text_vocab_size=600)
+    variables = {"params": state.params, **frozen}
+    fwd = jax.jit(lambda v, b: model.apply(
+        v, b["images"], b["image_mask"], b["text_ids"], b["text_mask"]))
+    out, cache = fwd(variables, batch)
+    idx = jnp.asarray([[2, 5, 0, 1], [1, 3, 7, 6]], jnp.int32)
+
+    def masks(m):
+        return jax.jit(lambda v, c, h, i: m.apply(
+            v, c, h, i, method=m.compute_masks))(
+                variables, cache, out["hs"][-1], idx)
+
+    np.testing.assert_allclose(np.asarray(masks(model)),
+                               np.asarray(masks(flat_model)),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_folded_conv_impls_agree():
+    """The two _FoldedConv lowerings (grouped conv vs shifted matmuls) and
+    _FoldedSplitConv must agree with the plain per-query conv."""
+    from toist_tpu.models.segmentation import (_FoldedConv, _FoldedSplitConv)
+
+    rng = np.random.default_rng(7)
+    B, h, w, n, cin, cout = 2, 6, 5, 3, 8, 16
+    x_flat = rng.normal(size=(B * n, h, w, cin)).astype(np.float32)
+    # flat [B*n,...] with b-major blocks -> folded [B,h,w,n*cin]
+    x_fold = jnp.asarray(
+        x_flat.reshape(B, n, h, w, cin).transpose(0, 2, 3, 1, 4)
+        .reshape(B, h, w, n * cin))
+    ref_conv = nn.Conv(cout, (3, 3), padding=1)
+    params = ref_conv.init(jax.random.PRNGKey(0), x_flat)
+    y_ref = ref_conv.apply(params, jnp.asarray(x_flat))
+    for impl in ("grouped", "shifts"):
+        mod = _FoldedConv(cin, cout, n, impl=impl)
+        y = mod.apply(params, x_fold)
+        y = np.asarray(y).reshape(B, h, w, n, cout).transpose(0, 3, 1, 2, 4) \
+            .reshape(B * n, h, w, cout)
+        np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-5,
+                                   err_msg=impl)
+
+    # Split conv: src (per-image, cin_src) + att (per-query, cin_att) halves.
+    cin_src, cin_att = 8, 4
+    src = rng.normal(size=(B, h, w, cin_src)).astype(np.float32)
+    att = rng.normal(size=(B, h, w, n * cin_att)).astype(np.float32)
+    x_cat = np.concatenate(
+        [np.repeat(src, n, axis=0),
+         att.reshape(B, h, w, n, cin_att).transpose(0, 3, 1, 2, 4)
+         .reshape(B * n, h, w, cin_att)], axis=-1)
+    params = ref_conv.init(jax.random.PRNGKey(1), x_cat)
+    y_ref = ref_conv.apply(params, jnp.asarray(x_cat))
+    for impl in ("grouped", "shifts"):
+        mod = _FoldedSplitConv(cin_src, cin_att, cout, n, impl=impl)
+        y = mod.apply(params, jnp.asarray(src), jnp.asarray(att))
+        y = np.asarray(y).reshape(B, h, w, n, cout).transpose(0, 3, 1, 2, 4) \
+            .reshape(B * n, h, w, cout)
+        np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-5,
+                                   err_msg=impl)
 
 
 @pytest.mark.slow
@@ -165,6 +232,34 @@ def test_mask_postprocess_vectorized_speed():
         np.asarray(img.resize((640, 480), Image.BILINEAR))
     dt_pil_200 = (time.time() - t0) / 16 * 200
     assert dt_host < dt_pil_200 * 6 + 2.0, (dt_host, dt_pil_200)
+
+
+def test_mask_postprocess_start_finish_matches_sync():
+    """The two-phase start/finish device postprocess (engine.evaluate's
+    double-buffered transfer overlap) must produce identical RLEs to the
+    synchronous wrapper, crop BOTH packed axes to the batch's max original
+    size, and interleave correctly with another dispatch in between."""
+    from toist_tpu.models.postprocess import (finish_masks_device,
+                                              postprocess_masks_device,
+                                              start_masks_device)
+
+    rng = np.random.default_rng(11)
+    pm = rng.normal(size=(2, 3, 52, 84)).astype(np.float32) * 3
+    sizes = np.array([[200, 333], [190, 285]])
+    orig = np.array([[120, 160], [95, 125]])
+    valid = np.array([True, True])
+    sync = postprocess_masks_device(jnp.asarray(pm), sizes, orig, valid)
+    h1 = start_masks_device(jnp.asarray(pm), sizes, orig, valid)
+    # Interleave other device work between start and finish (what evaluate
+    # does with the next batch's forward).
+    _ = jnp.asarray(pm * 2).sum().block_until_ready()
+    timings = {}
+    out = finish_masks_device(h1, timings=timings)
+    for b in range(2):
+        for q in range(3):
+            assert out[b][q] == sync[b][q], (b, q)
+    # Both packed axes cropped: bytes = B*Q*max_ow*ceil(max_oh/8), not OH*OW.
+    assert timings["packed_mb"] * 1e6 == 2 * 3 * 160 * ((120 + 7) // 8)
 
 
 def test_mask_postprocess_device_matches_host():

@@ -69,6 +69,13 @@ class ModelConfig:
     # backends, off on CPU (Mosaic kernels don't compile there); "interpret"
     # runs the kernel in the Pallas interpreter (CPU testing).
     fused_attention: str = "auto"        # auto | on | off | interpret
+    # Mask-head layout: "folded" runs MaskHeadSmallConvFolded (query axis
+    # folded into channels: N*16 >= 128-wide lanes instead of 16-wide, FPN
+    # adapters + lay1's shared half computed once per image) — same params
+    # and math as "flat" (equivalence tested), different lowering. The flat
+    # layout's 16/32-channel tensors underfill v5e's 128-wide lanes and cost
+    # ~10.6ms of layout copies per 51.4ms seg-train step.
+    mask_head_layout: str = "folded"     # folded | flat
 
 
 @dataclass(frozen=True)

@@ -127,7 +127,8 @@ def _interp_vectors(o: int, s: int):
 
 
 def _device_resize_threshold(pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0,
-                             lx1, logit_thr: float, pack_bytes: int):
+                             lx1, logit_thr: float, pack_bytes: int,
+                             pack_cols: int):
     """[B,Q,h4,w4] logits x per-sample two-tap bilinear gathers -> packed
     binary masks.
 
@@ -141,9 +142,11 @@ def _device_resize_threshold(pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0,
     so out-of-crop pixels threshold to 0. Thresholds on device and bit-packs
     8 pixels/byte COLUMN-major (x-major: Fortran order is exactly COCO's RLE
     stream, so the host run-length encodes the packed bytes directly via
-    rle_encode_packed_cm — that host stage was 2.2s/batch before). The
-    OH axis is cropped to `pack_bytes` rows of 8 before leaving the device:
-    only ceil(max_oh/8) * OW bytes per mask cross the wire.
+    rle_encode_packed_cm — that host stage was 2.2s/batch before). BOTH
+    output axes are cropped before leaving the device: the OH axis to
+    `pack_bytes` rows of 8 and the OW axis to `pack_cols` columns, so only
+    ceil(max_oh/8) * max_ow bytes per mask cross the wire (shipping all
+    OW=640 columns cost a 480-wide COCO image 33% extra pull bytes).
     """
     import jax.numpy as jnp
 
@@ -162,10 +165,124 @@ def _device_resize_threshold(pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0,
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     packed = jnp.einsum("bqxok,k->bqxo",
                         bits.reshape(B, Q, OW, OH // 8, 8), weights)
-    return packed[..., :pack_bytes]  # uint8 [B, Q, OW, pack_bytes]: MSB-first
+    # uint8 [B, Q, pack_cols, pack_bytes]: MSB-first within each byte.
+    return packed[..., :pack_cols, :pack_bytes]
 
 
 _DEVICE_RESIZE_JIT = None
+
+
+def start_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
+                       mask_stride: int = 4, threshold: float = 0.5,
+                       max_out_hw=(640, 640)):
+    """Phase 1 of the device PostProcessSegm: dispatch the batched on-device
+    resize + threshold + bitpack (async under JAX dispatch) and start the
+    device->host copy of the packed bits without blocking. Returns an opaque
+    handle for finish_masks_device — between the two calls the caller can
+    dispatch the NEXT batch's forward, so the packed-bits pull (the dominant
+    cost on the tunneled dev chip) overlaps device compute instead of
+    serializing with it (train/engine.evaluate double-buffers exactly this
+    way). Falls back to the synchronous host path (handle carries the
+    finished result) if any original exceeds the canvas or the masks are
+    already on host."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    OH, OW = max_out_hw
+    assert OH % 8 == 0
+    orig_sizes = np.asarray(orig_sizes)
+    # Per-axis guard: with a non-square canvas, an image taller than OH (even
+    # if < OW) cannot be written into the [OH, OW] output.
+    oversized = (orig_sizes.size > 0
+                 and ((orig_sizes[:, 0] > OH).any()
+                      or (orig_sizes[:, 1] > OW).any()))
+    if oversized or not hasattr(pred_masks, "devices"):
+        return {"host_result": postprocess_masks_host(
+            np.asarray(pred_masks), sizes, orig_sizes, sample_valid,
+            mask_stride, threshold)}
+    B, Q, h4, w4 = pred_masks.shape
+    iy0 = np.zeros((B, OH), np.int32)
+    iy1 = np.zeros((B, OH), np.int32)
+    ly0 = np.zeros((B, OH), np.float32)
+    ly1 = np.zeros((B, OH), np.float32)
+    ix0 = np.zeros((B, OW), np.int32)
+    ix1 = np.zeros((B, OW), np.int32)
+    lx0 = np.zeros((B, OW), np.float32)
+    lx1 = np.zeros((B, OW), np.float32)
+    max_oh, max_ow = 8, 1
+    for b in range(B):
+        if not sample_valid[b]:
+            continue
+        ih, iw = int(sizes[b][0]), int(sizes[b][1])
+        oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
+        max_oh = max(max_oh, oh)
+        max_ow = max(max_ow, ow)
+        ch, cw = max(1, ih // mask_stride), max(1, iw // mask_stride)
+        # Positions beyond the (oh, ow) crop keep zero weights (threshold to
+        # 0); source indices beyond the (ch, cw) crop are never referenced.
+        iy0[b, :oh], iy1[b, :oh], ly0[b, :oh], ly1[b, :oh] = \
+            _interp_vectors(oh, ch)
+        ix0[b, :ow], ix1[b, :ow], lx0[b, :ow], lx1[b, :ow] = \
+            _interp_vectors(ow, cw)
+    logit_thr = float(np.log(threshold / (1 - threshold))) \
+        if 0 < threshold < 1 else 0.0
+    # Static per-batch transfer crops: only ceil(max_oh/8) bytes per column
+    # and max_ow columns leave the device (COCO batches mix 480- and 640-
+    # sized originals; the handful of distinct (pack_bytes, pack_cols) pairs
+    # each compile once, persistently cached).
+    pack_bytes = (max_oh + 7) // 8
+    pack_cols = max_ow
+
+    global _DEVICE_RESIZE_JIT
+    if _DEVICE_RESIZE_JIT is None:
+        _DEVICE_RESIZE_JIT = jax.jit(
+            _device_resize_threshold,
+            static_argnames=("logit_thr", "pack_bytes", "pack_cols"))
+    t0 = _time.time()
+    packed_dev = _DEVICE_RESIZE_JIT(
+        pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0, lx1,
+        logit_thr=logit_thr, pack_bytes=pack_bytes, pack_cols=pack_cols)
+    try:
+        packed_dev.copy_to_host_async()
+    except Exception:
+        pass  # optional accelerator API; np.asarray in finish still works
+    return {"packed": packed_dev, "orig_sizes": orig_sizes,
+            "sample_valid": np.asarray(sample_valid), "Q": Q,
+            "dispatch_ms": (_time.time() - t0) * 1e3}
+
+
+def finish_masks_device(handle, timings=None):
+    """Phase 2: materialize the packed bits on host (blocks on the transfer
+    started by start_masks_device) and run-length encode via the C++ core.
+    Returns per-sample lists of RLE dicts (None for invalid samples)."""
+    import time as _time
+
+    import numpy as np
+
+    from toist_tpu.ops import rle as rle_ops
+
+    if "host_result" in handle:
+        return handle["host_result"]
+    t0 = _time.time()
+    packed = np.asarray(handle["packed"])
+    t1 = _time.time()
+    orig_sizes, sample_valid = handle["orig_sizes"], handle["sample_valid"]
+    out = []
+    for b in range(len(sample_valid)):
+        if not sample_valid[b]:
+            out.append(None)
+            continue
+        oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
+        out.append([rle_ops.encode_packed_cm(packed[b, q], oh, ow)
+                    for q in range(handle["Q"])])
+    if timings is not None:
+        timings["device_and_transfer_ms"] = \
+            handle["dispatch_ms"] + (t1 - t0) * 1e3
+        timings["host_rle_ms"] = (_time.time() - t1) * 1e3
+        timings["packed_mb"] = packed.nbytes / 1e6
+    return out
 
 
 def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
@@ -178,81 +295,15 @@ def postprocess_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
     but the per-query bilinear upsample runs on TPU over ALL B*Q masks at once,
     padded to a static (OH, OW) output canvas (COCO originals are <= 640 per
     side). Falls back to the host path if any original exceeds the canvas.
+    Synchronous convenience wrapper over start_masks_device +
+    finish_masks_device (use those directly to overlap the transfer with the
+    next batch's compute, as train/engine.evaluate does).
 
     timings: optional dict; on return carries "device_and_transfer_ms" (jit
     dispatch through np.asarray of the packed bits — includes the
     device->host pull, which dominates on the tunneled dev chip but is ~2ms
     over real PCIe), "host_rle_ms", and "packed_mb".
     """
-    import time as _time
-
-    import jax
-    import numpy as np
-
-    from toist_tpu.ops import rle as rle_ops
-
-    OH, OW = max_out_hw
-    assert OH % 8 == 0
-    orig_sizes = np.asarray(orig_sizes)
-    # Per-axis guard: with a non-square canvas, an image taller than OH (even
-    # if < OW) cannot be written into the [OH, OW] output.
-    oversized = (orig_sizes.size > 0
-                 and ((orig_sizes[:, 0] > OH).any()
-                      or (orig_sizes[:, 1] > OW).any()))
-    if oversized or not hasattr(pred_masks, "devices"):
-        return postprocess_masks_host(np.asarray(pred_masks), sizes,
-                                      orig_sizes, sample_valid, mask_stride,
-                                      threshold)
-    B, Q, h4, w4 = pred_masks.shape
-    iy0 = np.zeros((B, OH), np.int32)
-    iy1 = np.zeros((B, OH), np.int32)
-    ly0 = np.zeros((B, OH), np.float32)
-    ly1 = np.zeros((B, OH), np.float32)
-    ix0 = np.zeros((B, OW), np.int32)
-    ix1 = np.zeros((B, OW), np.int32)
-    lx0 = np.zeros((B, OW), np.float32)
-    lx1 = np.zeros((B, OW), np.float32)
-    max_oh = 8
-    for b in range(B):
-        if not sample_valid[b]:
-            continue
-        ih, iw = int(sizes[b][0]), int(sizes[b][1])
-        oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
-        max_oh = max(max_oh, oh)
-        ch, cw = max(1, ih // mask_stride), max(1, iw // mask_stride)
-        # Positions beyond the (oh, ow) crop keep zero weights (threshold to
-        # 0); source indices beyond the (ch, cw) crop are never referenced.
-        iy0[b, :oh], iy1[b, :oh], ly0[b, :oh], ly1[b, :oh] = \
-            _interp_vectors(oh, ch)
-        ix0[b, :ow], ix1[b, :ow], lx0[b, :ow], lx1[b, :ow] = \
-            _interp_vectors(ow, cw)
-    logit_thr = float(np.log(threshold / (1 - threshold))) \
-        if 0 < threshold < 1 else 0.0
-    # Static per-batch transfer crop: only ceil(max_oh/8) bytes per column
-    # leave the device (COCO batches mix 480- and 640-tall originals; the
-    # handful of distinct values each compile once, persistently cached).
-    pack_bytes = (max_oh + 7) // 8
-
-    global _DEVICE_RESIZE_JIT
-    if _DEVICE_RESIZE_JIT is None:
-        _DEVICE_RESIZE_JIT = jax.jit(
-            _device_resize_threshold,
-            static_argnames=("logit_thr", "pack_bytes"))
-    t0 = _time.time()
-    packed = np.asarray(_DEVICE_RESIZE_JIT(
-        pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0, lx1,
-        logit_thr=logit_thr, pack_bytes=pack_bytes))
-    t1 = _time.time()
-    out = []
-    for b in range(B):
-        if not sample_valid[b]:
-            out.append(None)
-            continue
-        oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
-        out.append([rle_ops.encode_packed_cm(packed[b, q], oh, ow)
-                    for q in range(Q)])
-    if timings is not None:
-        timings["device_and_transfer_ms"] = (t1 - t0) * 1e3
-        timings["host_rle_ms"] = (_time.time() - t1) * 1e3
-        timings["packed_mb"] = packed.nbytes / 1e6
-    return out
+    handle = start_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
+                                mask_stride, threshold, max_out_hw)
+    return finish_masks_device(handle, timings=timings)

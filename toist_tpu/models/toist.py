@@ -128,14 +128,22 @@ class TOIST(nn.Module):
             self.proj_text = nn.Dense(cfg.contrastive_hdim, dtype=jnp.float32,
                                       name="contrastive_align_projection_text")
         if cfg.masks:
-            from toist_tpu.models.segmentation import (MaskHeadSmallConv,
-                                                       MHAttentionMap)
+            from toist_tpu.models.segmentation import (
+                MaskHeadSmallConv, MaskHeadSmallConvFolded, MHAttentionMap)
             self.bbox_attention = MHAttentionMap(
                 cfg.hidden_dim, cfg.nheads, dtype=self.compute_dtype,
                 name="bbox_attention")
-            self.mask_head = MaskHeadSmallConv(
-                cfg.hidden_dim + cfg.nheads, cfg.hidden_dim,
-                dtype=self.compute_dtype, name="mask_head")
+            # Both layouts share the same param tree under "mask_head"
+            # (checkpoint-interchangeable; equivalence tested in
+            # tests/test_segmentation.py).
+            if cfg.mask_head_layout == "folded":
+                self.mask_head = MaskHeadSmallConvFolded(
+                    cfg.hidden_dim + cfg.nheads, cfg.hidden_dim,
+                    dtype=self.compute_dtype, name="mask_head")
+            else:
+                self.mask_head = MaskHeadSmallConv(
+                    cfg.hidden_dim + cfg.nheads, cfg.hidden_dim,
+                    dtype=self.compute_dtype, name="mask_head")
 
     def encode(self, images: jnp.ndarray, image_mask: jnp.ndarray,
                text_ids: jnp.ndarray, text_mask: jnp.ndarray,
@@ -273,14 +281,22 @@ class TOIST(nn.Module):
         att = self.bbox_attention(hs_sel.astype(self.compute_dtype), memory,
                                   pad_mask=memory_cache["feature_mask"])
         src = memory_cache["src_proj"]                       # [B, fh, fw, D]
-        x = jnp.concatenate([
-            jnp.repeat(src, N, axis=0),
-            att.transpose(0, 1, 3, 4, 2).reshape(B * N, fh, fw,
-                                                 self.cfg.nheads),
-        ], axis=-1)
-        logits = self.mask_head(x, memory_cache["features_c4"],
-                                memory_cache["features_c3"],
-                                memory_cache["features_c2"], num_queries=N)
+        if self.cfg.mask_head_layout == "folded":
+            # Folded layout: src stays per-image, att stays per-query; the
+            # head folds queries into channels (segmentation.py).
+            logits = self.mask_head(src, att, memory_cache["features_c4"],
+                                    memory_cache["features_c3"],
+                                    memory_cache["features_c2"])
+        else:
+            x = jnp.concatenate([
+                jnp.repeat(src, N, axis=0),
+                att.transpose(0, 1, 3, 4, 2).reshape(B * N, fh, fw,
+                                                     self.cfg.nheads),
+            ], axis=-1)
+            logits = self.mask_head(x, memory_cache["features_c4"],
+                                    memory_cache["features_c3"],
+                                    memory_cache["features_c2"],
+                                    num_queries=N)
         h4, w4 = logits.shape[1], logits.shape[2]
         return logits.reshape(B, N, h4, w4).astype(jnp.float32)
 

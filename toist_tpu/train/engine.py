@@ -74,15 +74,32 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
              spec: BucketSpec, batch_size: int, mesh=None,
              iou_types=("bbox",), mask_postprocess: Optional[Callable] = None,
              print_freq: int = 10) -> Dict[int, Dict[str, np.ndarray]]:
-    """Run per-task evaluation; returns {task_id: {'bbox': stats12, ...}}."""
-    if "segm" in iou_types and mask_postprocess is None:
-        from toist_tpu.models.postprocess import postprocess_masks_device
+    """Run per-task evaluation; returns {task_id: {'bbox': stats12, ...}}.
 
-        def mask_postprocess(res, b):
+    The loop is double-buffered: each batch's device->host pulls (box post
+    arrays and the packed mask bits) are deferred until AFTER the next
+    batch's forward has been dispatched, so transfers overlap device compute
+    instead of serializing with it (JAX dispatch is async; the mask pull was
+    ~94% of the seg-eval batch on the tunneled dev chip). A custom
+    mask_postprocess callable runs synchronously as before."""
+    if "segm" in iou_types and mask_postprocess is None:
+        from toist_tpu.models.postprocess import (finish_masks_device,
+                                                  start_masks_device)
+
+        def mask_start(res, b):
             # Batched MXU resize + threshold + bitpack on device; host only
-            # unpacks bits and RLE-encodes (postprocess.py).
-            return postprocess_masks_device(res["pred_masks"], b["size"],
-                                            b["orig_size"], b["sample_valid"])
+            # RLE-encodes the packed bits (postprocess.py). Dispatch only —
+            # the transfer is materialized in mask_finish.
+            return start_masks_device(res["pred_masks"], b["size"],
+                                      b["orig_size"], b["sample_valid"])
+
+        mask_finish = finish_masks_device
+    elif mask_postprocess is not None:
+        def mask_start(res, b):
+            return {"sync_result": mask_postprocess(res, b)}
+
+        def mask_finish(handle):
+            return handle["sync_result"]
     import jax
 
     results = {}
@@ -111,18 +128,30 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
                     yield queue.popleft()
             while queue:
                 yield queue.popleft()
+        def _flush(item):
+            # Materialize one batch's results on host (blocks on transfers
+            # that have been overlapping the next batch's forward).
+            np_b, res, mask_handle = item
+            post = {k: np.asarray(v) for k, v in res["post"].items()}
+            masks = mask_finish(mask_handle) if mask_handle is not None \
+                else None
+            evaluator.update(np_b["image_id"], post["scores"],
+                             post["boxes"], valid=np_b["sample_valid"],
+                             masks=masks)
+            if "loss" in res["scalars"]:  # absent w/ compute_eval_losses off
+                logger.update(loss=float(np.asarray(res["scalars"]["loss"])))
+
+        pending = None
         for np_batch, batch in logger.log_every(_with_np(it.epoch(0)),
                                                 total=len(it)):
             res = eval_step(params, batch)
-            post = {k: np.asarray(v) for k, v in res["post"].items()}
-            masks = None
-            if "segm" in iou_types and mask_postprocess is not None:
-                masks = mask_postprocess(res, np_batch)
-            evaluator.update(np_batch["image_id"], post["scores"],
-                             post["boxes"], valid=np_batch["sample_valid"],
-                             masks=masks)
-            if "loss" in res["scalars"]:  # absent with compute_eval_losses off
-                logger.update(loss=float(np.asarray(res["scalars"]["loss"])))
+            mask_handle = mask_start(res, np_batch) \
+                if "segm" in iou_types else None
+            if pending is not None:
+                _flush(pending)
+            pending = (np_batch, res, mask_handle)
+        if pending is not None:
+            _flush(pending)
         logger.synchronize_between_processes()
         evaluator.synchronize_between_processes()
         results[task_id] = evaluator.summarize()

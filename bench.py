@@ -256,10 +256,13 @@ def _profile_device_ms(run_n_steps, n: int = 3):
         return None
 
 
-def measure_seg_train(B: int = 2):
+def measure_seg_train(B: int = 2, layout: str = "flat"):
     """Segmentation train step: batch 2, frozen detector, no aux loss
     (reference scripts/train_seg.sh:1-12). Returns (steps/s, img/s, tflops/s,
     device_ms_per_iter, flops/step).
+
+    layout selects model.mask_head_layout (flat | folded | folded_shifts) so
+    the mask-head restructurings can be A/B'd per stage.
     """
     import jax
     import jax.numpy as jnp
@@ -274,6 +277,7 @@ def measure_seg_train(B: int = 2):
 
     cfg = Config(model=ModelConfig(contrastive_align_loss=True,
                                    mask_model="smallconv", masks=True,
+                                   mask_head_layout=layout,
                                    frozen_detector=True),
                  optim=OptimConfig(train_batch_size=B),
                  loss=LossConfig(aux_loss=False))
@@ -741,8 +745,11 @@ def run_stage(stage: str):
             "device": jax.devices()[0].device_kind,
             "chip_peak_bf16_tflops": peak,
         }
-    elif stage == "seg_train":
-        s, i, tf, dev_ms, flops = measure_seg_train()
+    elif stage == "seg_train" or stage.startswith("seg_train:"):
+        parts = stage.split(":")
+        B = int(parts[1]) if len(parts) > 1 else 2
+        layout = parts[2] if len(parts) > 2 else "flat"
+        s, i, tf, dev_ms, flops = measure_seg_train(B, layout)
         out = {"steps_per_sec": round(s, 3), "imgs_per_sec": round(i, 2),
                "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2)}
@@ -750,7 +757,7 @@ def run_stage(stage: str):
             # Wall-clock hides ~25ms/step of host dispatch behind the short
             # device step on this 1-core VM; record the device-bound numbers.
             out["device_ms_per_iter"] = round(dev_ms, 2)
-            out["device_imgs_per_sec"] = round(2 * 1e3 / dev_ms, 2)
+            out["device_imgs_per_sec"] = round(B * 1e3 / dev_ms, 2)
             out["device_mfu_pct"] = round(
                 100 * flops / (dev_ms / 1e3) / 1e12 / peak, 2)
     elif stage == "seg_eval":

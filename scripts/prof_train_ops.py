@@ -6,6 +6,7 @@ while-loops can be attributed to model code. One stage per process (TPU
 exclusivity; train-sized executables don't co-reside in 16GB HBM).
 
 Usage: python scripts/prof_train_ops.py [dete|seg|distill] [top_n]
+Env: TOIST_PROF_B overrides the stage's per-step batch size.
 """
 from __future__ import annotations
 
@@ -28,7 +29,7 @@ def _dete_step():
     from toist_tpu.train.optim import make_optimizer
     from toist_tpu.train.step import init_train_state, make_train_step
 
-    B = 6
+    B = int(os.environ.get("TOIST_PROF_B", "6"))
     cfg = Config(model=ModelConfig(contrastive_align_loss=True),
                  optim=OptimConfig(train_batch_size=B),
                  loss=LossConfig(aux_loss=True))
@@ -53,7 +54,7 @@ def _seg_step():
     from toist_tpu.train.optim import make_optimizer
     from toist_tpu.train.step import init_train_state, make_train_step
 
-    B = 2
+    B = int(os.environ.get("TOIST_PROF_B", "2"))
     cfg = Config(model=ModelConfig(contrastive_align_loss=True,
                                    mask_model="smallconv", masks=True,
                                    frozen_detector=True),
@@ -90,7 +91,7 @@ def _distill_step():
     from toist_tpu.train.step import (init_train_state, init_variables,
                                       split_variables)
 
-    B = 3
+    B = int(os.environ.get("TOIST_PROF_B", "3"))
     cfg = Config(
         model=ModelConfig(contrastive_align_loss=True),
         optim=OptimConfig(train_batch_size=B),

@@ -69,13 +69,18 @@ class ModelConfig:
     # backends, off on CPU (Mosaic kernels don't compile there); "interpret"
     # runs the kernel in the Pallas interpreter (CPU testing).
     fused_attention: str = "auto"        # auto | on | off | interpret
-    # Mask-head layout: "folded" runs MaskHeadSmallConvFolded (query axis
-    # folded into channels: N*16 >= 128-wide lanes instead of 16-wide, FPN
-    # adapters + lay1's shared half computed once per image) — same params
-    # and math as "flat" (equivalence tested), different lowering. The flat
-    # layout's 16/32-channel tensors underfill v5e's 128-wide lanes and cost
-    # ~10.6ms of layout copies per 51.4ms seg-train step.
-    mask_head_layout: str = "folded"     # folded | flat
+    # Mask-head layout. "flat" is the reference shape ([B*N, h, w, c]); its
+    # 16/32-channel tensors underfill v5e's 128-wide lanes and cost ~10.6ms
+    # of layout copies per 51.4ms seg-train step — so "folded"
+    # (MaskHeadSmallConvFolded: query axis folded into channels, N*16 >= 400
+    # lanes, FPN adapters + lay1's shared half computed once per image; same
+    # params and math, equivalence tested) was built and MEASURED as the fix.
+    # Measured rejection (v5e, 832x1344): both folded lowerings LOSE —
+    # XLA serializes the 25-group conv (grouped: 141.4ms/step at batch 2 vs
+    # flat 51.4ms) and the shifted-matmul form pays 9x reads at K=16 (shifts:
+    # 338.8ms at batch 8 vs flat 133.5ms, 7.1% vs 19.6% device MFU). Kept as
+    # an option because the lowering economics differ per backend/generation.
+    mask_head_layout: str = "flat"       # flat | folded | folded_shifts
 
 
 @dataclass(frozen=True)

@@ -88,11 +88,27 @@ def build_all(cfg: Config, image_set_for_eval: str = "val", mesh=None):
 
 def maybe_init_distributed() -> None:
     """Multi-host rendezvous (the reference's init_distributed_mode,
-    util/dist.py:205-229). jax.distributed.initialize auto-detects TPU pod
-    environments; opt in via TOIST_DISTRIBUTED=1 to stay inert on single-host
-    dev machines."""
+    util/dist.py:205-229).
+
+    Two modes, mirroring the reference's env-var vs auto-detect split:
+      * explicit: TOIST_COORDINATOR=host:port + TOIST_NUM_PROCESSES +
+        TOIST_PROCESS_ID (the reference's MASTER_ADDR/RANK/WORLD_SIZE,
+        util/dist.py:208-215) — used by torch.distributed.launch-style
+        launchers and the multi-process integration test;
+      * auto: TOIST_DISTRIBUTED=1 lets jax.distributed.initialize detect
+        TPU-pod environments; stays inert on single-host dev machines.
+    Must run before any JAX backend use (device queries pin the topology)."""
     import jax
 
+    coord = os.environ.get("TOIST_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["TOIST_NUM_PROCESSES"]),
+            process_id=int(os.environ["TOIST_PROCESS_ID"]))
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()} via {coord}", flush=True)
+        return
     if os.environ.get("TOIST_DISTRIBUTED") and jax.process_count() == 1:
         try:
             jax.distributed.initialize()
@@ -251,14 +267,27 @@ def main(cfg: Config) -> Optional[float]:
         train_step = make_train_step(model, cfg, weight_dict, optimizer,
                                      frozen, with_masks=cfg.model.masks,
                                      mesh=mesh)
+    def _local_tree(t):
+        # Multi-process: host-sharded eval runs per-process on LOCAL devices
+        # (train/engine.evaluate). Anything the eval program closes over
+        # (frozen collections, the cluster bank) must therefore be local —
+        # a global-mesh constant drags the whole eval computation onto the
+        # global mesh, whose outputs one process cannot fetch.
+        if jax.process_count() == 1:
+            return t
+        return jax.tree_util.tree_map(jax.device_put, jax.device_get(t))
+
+    eval_frozen = _local_tree(frozen)
     if cfg.loss.cluster:
         from toist_tpu.train.distill import make_cluster_eval_step
-        cluster_eval = make_cluster_eval_step(model, cfg, weight_dict, frozen)
+        cluster_eval = make_cluster_eval_step(model, cfg, weight_dict,
+                                              eval_frozen)
 
         def eval_step(params, batch):
-            return cluster_eval(params, state.cluster_bank, batch)
+            return cluster_eval(params, _local_tree(state.cluster_bank),
+                                batch)
     else:
-        eval_step = make_eval_step(model, cfg, weight_dict, frozen,
+        eval_step = make_eval_step(model, cfg, weight_dict, eval_frozen,
                                    with_masks=cfg.model.masks)
     rng = jax.random.PRNGKey(cfg.run.seed)
 
@@ -299,14 +328,18 @@ def main(cfg: Config) -> Optional[float]:
                 jsonl=jsonl, tb=tb)
         jsonl.write({"kind": "epoch", "epoch": epoch,
                      "seconds": time.time() - t0, **train_stats})
-        if cfg.run.output_dir and jax.process_index() == 0:
+        if cfg.run.output_dir:
+            # EVERY process calls save: orbax coordinates multihost commits
+            # internally (its primary host writes, others join the barrier) —
+            # rank-gating the call deadlocks rank 0 on that barrier. Single
+            # process this is plain rank-0 behavior.
             ckpt.save(os.path.join(cfg.run.output_dir, "checkpoint"),
                       jax.device_get(state), jax.device_get(frozen), epoch,
                       async_save=cfg.run.async_checkpoint)
         if epoch % cfg.optim.eval_skip == 0:
             params = state.ema_params if cfg.optim.ema else state.params
             m = run_eval(params, epoch=epoch)
-            if m > best_map and cfg.run.output_dir and jax.process_index() == 0:
+            if m > best_map and cfg.run.output_dir:
                 best_map = m
                 ckpt.save(os.path.join(cfg.run.output_dir, "BEST_checkpoint"),
                           jax.device_get(state), jax.device_get(frozen),

@@ -136,10 +136,13 @@ class TOIST(nn.Module):
             # Both layouts share the same param tree under "mask_head"
             # (checkpoint-interchangeable; equivalence tested in
             # tests/test_segmentation.py).
-            if cfg.mask_head_layout == "folded":
+            if cfg.mask_head_layout.startswith("folded"):
+                impl = ("shifts" if cfg.mask_head_layout == "folded_shifts"
+                        else "grouped")
                 self.mask_head = MaskHeadSmallConvFolded(
                     cfg.hidden_dim + cfg.nheads, cfg.hidden_dim,
-                    dtype=self.compute_dtype, name="mask_head")
+                    conv_impl=impl, dtype=self.compute_dtype,
+                    name="mask_head")
             else:
                 self.mask_head = MaskHeadSmallConv(
                     cfg.hidden_dim + cfg.nheads, cfg.hidden_dim,
@@ -281,7 +284,7 @@ class TOIST(nn.Module):
         att = self.bbox_attention(hs_sel.astype(self.compute_dtype), memory,
                                   pad_mask=memory_cache["feature_mask"])
         src = memory_cache["src_proj"]                       # [B, fh, fw, D]
-        if self.cfg.mask_head_layout == "folded":
+        if self.cfg.mask_head_layout.startswith("folded"):
             # Folded layout: src stays per-image, att stays per-query; the
             # head folds queries into channels (segmentation.py).
             logits = self.mask_head(src, att, memory_cache["features_c4"],

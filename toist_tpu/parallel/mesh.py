@@ -41,8 +41,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Host numpy batch (possibly nested, e.g. distillation {noun, sth}) ->
-    device arrays sharded on the data axis."""
+    device arrays sharded on the data axis.
+
+    Multi-process (jax.distributed): each process holds only ITS data shard
+    (BatchIterator slices per process, the DistributedSampler equivalent), so
+    the global array is assembled from per-process local rows — the GLOBAL
+    batch dim is local_batch * process_count. Single-process: plain
+    device_put (the value is the whole batch)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda v: jax.make_array_from_process_local_data(
+                sh, np.asarray(v)), batch)
     return jax.tree_util.tree_map(lambda v: jax.device_put(v, sh), batch)
 
 
@@ -58,6 +68,14 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     startup.
     """
     rep = replicated(mesh)
+    if jax.process_count() > 1:
+        # Multi-process: the jit-copy trick can't consume process-local
+        # committed arrays. Every process holds the full value (deterministic
+        # init / shared checkpoint), so pull to host and device_put the
+        # global value — always fresh buffers, no aliasing.
+        host = jax.device_get(tree)
+        return jax.tree_util.tree_map(
+            lambda v: jax.device_put(np.asarray(v), rep), host)
     tree = jax.tree_util.tree_map(jnp.asarray, tree)
     return jax.jit(
         lambda t: jax.tree_util.tree_map(jnp.copy, t),
@@ -119,6 +137,11 @@ def shard_opt_state(opt_state: Any, mesh: Mesh, min_size: int = 2 ** 12) -> Any:
     if n <= 1 and not tp_lib.has_model_axis(mesh):
         return replicate_tree(opt_state, mesh)
     specs = _opt_state_specs(opt_state, mesh, min_size)
+    if jax.process_count() > 1:
+        # Cross-process placement needs the full global value on every
+        # process (it is: init is deterministic / checkpoints are shared).
+        opt_state = jax.device_get(opt_state)
+        opt_state = jax.tree_util.tree_map(np.asarray, opt_state)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         opt_state, specs)

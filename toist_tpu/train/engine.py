@@ -102,6 +102,18 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
             return handle["sync_result"]
     import jax
 
+    if jax.process_count() > 1:
+        # Host-sharded eval is per-process by design (each host evaluates its
+        # slice of the val set; results merge via the ownership-keyed
+        # allgather below). Pull the replicated params to host once and let
+        # the jit re-place them on LOCAL devices: per-process batch counts
+        # may then differ freely, and outputs are plain addressable arrays —
+        # a global-mesh program here would desync when shards are uneven.
+        # The re-placement happens ONCE (device arrays are reused across the
+        # per-batch jit calls; numpy leaves would re-transfer every call).
+        params = jax.tree_util.tree_map(jax.device_put,
+                                        jax.device_get(params))
+
     results = {}
     for task_id, ds in task_datasets.items():
         gts = gt_records_from_json(ds.coco.dataset)
@@ -120,9 +132,15 @@ def evaluate(eval_step: Callable, params, task_datasets: Dict[int, object],
             # asynchronously, overlapping the next transfer with eval compute.
             import collections
             queue = collections.deque()
+            local = jax.process_count() > 1
             for np_b in iterator:
-                dev_b = mesh_lib.shard_batch(np_b, mesh) if mesh is not None \
-                    else np_b
+                # Multi-process: this process's eval slice stays on LOCAL
+                # devices (the mesh is a global object; a 'data'-sharded
+                # global batch would make outputs non-addressable here).
+                dev_b = (jax.tree_util.tree_map(jax.device_put, np_b)
+                         if local else
+                         mesh_lib.shard_batch(np_b, mesh) if mesh is not None
+                         else np_b)
                 queue.append((np_b, dev_b))
                 if len(queue) >= 2:
                     yield queue.popleft()

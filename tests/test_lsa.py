@@ -79,3 +79,32 @@ def test_batch():
                 cost[b, np.arange(n[b]), out[b, :n[b]]].sum(),
                 cost[b, rows, cols].sum(), rtol=1e-5, atol=1e-5)
         assert (out[b, n[b]:] == -1).all()
+
+
+def test_non_finite_costs_terminate_and_stay_optimal():
+    """NaN/inf cost entries must not hang the SAP while_loop.
+
+    Regression: with non-finite entries nothing relaxes `shortest`, the
+    masked argmin re-picks an already-scanned column, and the pre-sanitizer
+    solver spun forever (seen live: a random-weight checkpoint's eval losses
+    produced NaN cost rows and hung the whole eval loop). The sanitizer maps
+    non-finite entries to a finite sentinel larger than any all-finite
+    assignment, so the solve terminates AND matches scipy on the sanitized
+    matrix (optimal among finite entries whenever feasible)."""
+    # Degenerate: every entry non-finite — must terminate with a permutation.
+    all_nan = jnp.full((4, 6), np.nan, jnp.float32)
+    out = np.asarray(solve_lsa(all_nan, jnp.int32(4)))
+    assert len(set(out.tolist())) == 4 and (out >= 0).all()
+
+    rng = np.random.default_rng(17)
+    for trial, bad in enumerate([np.nan, np.inf, -np.inf] * 8):
+        m = rng.normal(size=(5, 9)).astype(np.float32)
+        m[rng.random((5, 9)) < 0.3] = bad
+        ours = np.asarray(solve_lsa(jnp.asarray(m), jnp.int32(5)))
+        finite = np.isfinite(m)
+        sent = (np.abs(m[finite]).max() + 1.0) * 6
+        san = np.where(finite, m, sent)
+        rows, cols = linear_sum_assignment(san)
+        np.testing.assert_allclose(san[np.arange(5), ours].sum(),
+                                   san[rows, cols].sum(), rtol=1e-5,
+                                   err_msg=f"trial {trial}")

@@ -78,3 +78,30 @@ def test_solve_lsa_auto_cpu_matches_vmap():
     np.testing.assert_array_equal(
         np.asarray(solve_lsa_auto(cost, n)),
         np.asarray(jax.vmap(solve_lsa)(cost, n)))
+
+
+def test_pallas_non_finite_costs_terminate():
+    """Same regression as test_lsa.py::test_non_finite_costs_terminate...:
+    the in-kernel SAP scan must exit (sink<0 via the _CUT reachability
+    cutoff) instead of spinning when non-finite costs prevent relaxation;
+    the wrapper's sanitizer keeps the result scipy-optimal on the
+    sanitized matrix."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(23)
+    m = rng.normal(size=(2, 5, 9)).astype(np.float32)
+    m[0][rng.random((5, 9)) < 0.3] = np.nan
+    m[1][rng.random((5, 9)) < 0.3] = np.inf
+    out = np.asarray(solve_lsa_batch_pallas(
+        jnp.asarray(m), jnp.asarray([5, 5], np.int32), interpret=True))
+    for b in range(2):
+        finite = np.isfinite(m[b])
+        san = np.where(finite, m[b], (np.abs(m[b][finite]).max() + 1) * 6)
+        rows, cols = linear_sum_assignment(san)
+        np.testing.assert_allclose(san[np.arange(5), out[b]].sum(),
+                                   san[rows, cols].sum(), rtol=1e-5)
+    # All-NaN batch element: still terminates with a permutation.
+    allnan = np.full((1, 4, 6), np.nan, np.float32)
+    out2 = np.asarray(solve_lsa_batch_pallas(
+        jnp.asarray(allnan), jnp.asarray([4], np.int32), interpret=True))
+    assert len(set(out2[0].tolist())) == 4 and (out2 >= 0).all()

@@ -44,8 +44,17 @@ def _augment_one(cost, u, v, row4col, col4row, cur_row):
     # All state updates are one-hot jnp.where (no scatters): scatters inside
     # vmapped while_loops compile pathologically slowly on XLA.
     def scan_cond(state):
-        _i, _minval, sink, *_ = state
-        return sink < 0
+        _i, minval, sink, *_ = state
+        # Terminate on a found sink, or when no unscanned column is reachable
+        # (minval == +inf). The latter bounds the loop unconditionally: every
+        # iteration with finite minval scans one NEW column, so after at most
+        # C productive iterations all unscanned tentative distances are +inf.
+        # With finite costs a sink always appears first; non-finite costs
+        # (NaN/inf never relax `shortest`) would otherwise re-pick an
+        # already-scanned column via argmin and spin the chip forever — seen
+        # live with a random-weight checkpoint whose eval losses produced NaN
+        # cost rows. solve_lsa sanitizes those, this is the backstop.
+        return (sink < 0) & jnp.isfinite(minval)
 
     def scan_body(state):
         i, minval, sink, sr, sc, shortest, path = state
@@ -60,7 +69,10 @@ def _augment_one(cost, u, v, row4col, col4row, cur_row):
         j = jnp.argmin(masked)
         minval = masked[j]
         sc = sc | (col_iota == j)
-        free = row4col[j] < 0
+        # An infinite minval means j is unreachable (argmin over all-inf);
+        # never accept it as a sink — path[j] would be -1 and the augment
+        # backtrack would walk garbage. scan_cond exits on it instead.
+        free = (row4col[j] < 0) & jnp.isfinite(minval)
         sink = jnp.where(free, j, -1)
         i = jnp.where(free, i, row4col[j])
         return (i, minval, sink, sr, sc, shortest, path)
@@ -77,30 +89,42 @@ def _augment_one(cost, u, v, row4col, col4row, cur_row):
     i, minval, sink, sr, sc, shortest, path = jax.lax.while_loop(
         scan_cond, scan_body, init)
 
-    # Dual update (scipy _lsap.c semantics).
-    u = jnp.where(row_iota == cur_row, u + minval, u)
-    other = sr & (row_iota != cur_row)
-    # col4row[i] is valid for every scanned row other than cur_row.
-    gathered = jnp.where(other, shortest[jnp.clip(col4row, 0, C - 1)], 0.0)
-    u = jnp.where(other, u + minval - gathered, u)
-    v = jnp.where(sc, v - (minval - shortest), v)
+    def apply(args):
+        u, v, row4col, col4row = args
+        # Dual update (scipy _lsap.c semantics).
+        u2 = jnp.where(row_iota == cur_row, u + minval, u)
+        other = sr & (row_iota != cur_row)
+        # col4row[i] is valid for every scanned row other than cur_row.
+        gathered = jnp.where(other, shortest[jnp.clip(col4row, 0, C - 1)],
+                             0.0)
+        u2 = jnp.where(other, u2 + minval - gathered, u2)
+        v2 = jnp.where(sc, v - (minval - shortest), v)
 
-    # Augment: walk predecessors from the sink back to cur_row.
-    def aug_cond(state):
-        j, _row4col, _col4row, done = state
-        return ~done
+        # Augment: walk predecessors from the sink back to cur_row. Bounded
+        # by construction (the predecessor chain alternates distinct matched
+        # columns, <= R+1 hops); `hops` is the unconditional backstop.
+        def aug_cond(state):
+            _j, _row4col, _col4row, done, hops = state
+            return ~done & (hops <= R)
 
-    def aug_body(state):
-        j, row4col, col4row, _done = state
-        i = path[j]
-        row4col = jnp.where(col_iota == j, i, row4col)
-        prev_j = col4row[i]
-        col4row = jnp.where(row_iota == i, j, col4row)
-        return (prev_j, row4col, col4row, i == cur_row)
+        def aug_body(state):
+            j, row4col, col4row, _done, hops = state
+            i = path[j]
+            row4col = jnp.where(col_iota == j, i, row4col)
+            prev_j = col4row[i]
+            col4row = jnp.where(row_iota == i, j, col4row)
+            return (prev_j, row4col, col4row, i == cur_row, hops + 1)
 
-    _, row4col, col4row, _ = jax.lax.while_loop(
-        aug_cond, aug_body, (sink, row4col, col4row, jnp.bool_(False)))
-    return u, v, row4col, col4row
+        _, row4col, col4row, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body,
+            (sink, row4col, col4row, jnp.bool_(False), jnp.int32(0)))
+        return u2, v2, row4col, col4row
+
+    # sink < 0 = no reachable free column (only possible when non-finite
+    # costs slipped past the solve_lsa sanitizer): leave cur_row unassigned
+    # (col4row stays -1) rather than corrupt duals with inf arithmetic.
+    return jax.lax.cond(sink >= 0, apply, lambda a: a,
+                        (u, v, row4col, col4row))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -113,11 +137,21 @@ def solve_lsa(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
 
     Returns:
       col4row: [R] int32 — for each row, its assigned column, or -1 for padded rows.
+
+    Non-finite costs (NaN/inf — e.g. eval losses of a diverged or
+    random-initialized model) are replaced by a finite sentinel larger than
+    any all-finite assignment, so such entries are avoided whenever a finite
+    assignment exists and the solve always terminates (scipy raises on
+    infeasible matrices instead; raising is not expressible inside jit, and a
+    hang — the pre-sanitizer behavior — took the whole eval loop with it).
     """
     R, C = cost.shape
     if R > C:
         raise ValueError(f"solve_lsa requires R <= C, got {cost.shape}")
     cost = cost.astype(jnp.float32)
+    finite = jnp.isfinite(cost)
+    big = (jnp.max(jnp.where(finite, jnp.abs(cost), 0.0)) + 1.0) * (R + 1)
+    cost = jnp.where(finite, cost, big)
 
     def body(row, state):
         u, v, row4col, col4row = state

@@ -22,6 +22,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
+# Reachability cutoff: tentative distances >= _CUT mean "no unscanned column
+# is reachable" (only pad columns / non-finite-sanitized entries live up
+# there). The scan exits instead of accepting such a column — with NaN costs
+# nothing ever relaxes `shortest`, the masked argmin re-picks an
+# already-scanned column, and the while_loop would otherwise spin forever
+# (same failure mode fixed in ops/lsa.py; seen live with a random-weight
+# checkpoint whose eval losses produced NaN cost rows).
+_CUT = 5e29
 
 
 def _kernel(n_rows_ref, cost_ref, out_ref):
@@ -37,8 +45,8 @@ def _kernel(n_rows_ref, cost_ref, out_ref):
         # u [1,R] f32, v [1,C] f32, row4col [1,C] i32, col4row [1,R] i32
 
         def scan_cond(s):
-            _i, _minval, sink, _sr, _sc, _short, _path = s
-            return sink < 0
+            _i, minval, sink, _sr, _sc, _short, _path = s
+            return (sink < 0) & (minval < _CUT)
 
         def scan_body(s):
             # sr/sc are int32 0/1 masks: Mosaic cannot unify the layouts of
@@ -57,7 +65,10 @@ def _kernel(n_rows_ref, cost_ref, out_ref):
             sc = sc | (col_iota == j).astype(jnp.int32)
             # owner = row4col[0, j] via masked sum (others contribute 0).
             owner = jnp.sum(jnp.where(col_iota == j, row4col, jnp.int32(0)))
-            free = owner < 0
+            # Unreachable columns (minval >= _CUT: pads, or the all-_BIG
+            # no-progress state under sanitized non-finite costs) are never
+            # accepted as sinks — scan_cond exits on them instead.
+            free = (owner < 0) & (minval < _CUT)
             sink = jnp.where(free, j, jnp.int32(-1))
             i = jnp.where(free, i, owner)
             return (i, minval, sink, sr, sc, shortest, path)
@@ -70,33 +81,43 @@ def _kernel(n_rows_ref, cost_ref, out_ref):
         i, minval, sink, sr, sc, shortest, path = jax.lax.while_loop(
             scan_cond, scan_body, init)
 
-        # Dual update. gathered[r] = shortest[col4row[r]]; Mosaic has no
-        # general gather, so use a one-hot masked sum over a [R, C] mask.
-        u = jnp.where(row_iota == cur_row, u + minval, u)
-        other = (sr > 0) & (row_iota != cur_row)
-        col_of_row = jnp.clip(col4row, 0, C - 1)                  # [1, R]
-        match = col_of_row.reshape(R, 1) == col_iota              # [R, C]
-        gathered = jnp.sum(jnp.where(match, shortest, 0.0),
-                           axis=1).reshape(1, R)
-        u = jnp.where(other, u + minval - gathered, u)
-        v = jnp.where(sc > 0, v - (minval - shortest), v)
+        def apply(args):
+            u, v, row4col, col4row = args
+            # Dual update. gathered[r] = shortest[col4row[r]]; Mosaic has no
+            # general gather, so use a one-hot masked sum over a [R, C] mask.
+            u2 = jnp.where(row_iota == cur_row, u + minval, u)
+            other = (sr > 0) & (row_iota != cur_row)
+            col_of_row = jnp.clip(col4row, 0, C - 1)              # [1, R]
+            match = col_of_row.reshape(R, 1) == col_iota          # [R, C]
+            gathered = jnp.sum(jnp.where(match, shortest, 0.0),
+                               axis=1).reshape(1, R)
+            u2 = jnp.where(other, u2 + minval - gathered, u2)
+            v2 = jnp.where(sc > 0, v - (minval - shortest), v)
 
-        # Augment along predecessor path.
-        def aug_cond(s):
-            _j, _r4c, _c4r, done = s
-            return ~done
+            # Augment along predecessor path (`hops` backstop as in lsa.py).
+            def aug_cond(s):
+                _j, _r4c, _c4r, done, hops = s
+                return ~done & (hops <= R)
 
-        def aug_body(s):
-            j, row4col, col4row, _done = s
-            i2 = jnp.sum(jnp.where(col_iota == j, path, jnp.int32(0)))
-            row4col = jnp.where(col_iota == j, i2, row4col)
-            prev_j = jnp.sum(jnp.where(row_iota == i2, col4row, jnp.int32(0)))
-            col4row = jnp.where(row_iota == i2, j, col4row)
-            return (prev_j, row4col, col4row, i2 == cur_row)
+            def aug_body(s):
+                j, row4col, col4row, _done, hops = s
+                i2 = jnp.sum(jnp.where(col_iota == j, path, jnp.int32(0)))
+                row4col = jnp.where(col_iota == j, i2, row4col)
+                prev_j = jnp.sum(jnp.where(row_iota == i2, col4row,
+                                           jnp.int32(0)))
+                col4row = jnp.where(row_iota == i2, j, col4row)
+                return (prev_j, row4col, col4row, i2 == cur_row, hops + 1)
 
-        _, row4col, col4row, _ = jax.lax.while_loop(
-            aug_cond, aug_body, (sink, row4col, col4row, jnp.bool_(False)))
-        return (u, v, row4col, col4row)
+            _, row4col, col4row, _, _ = jax.lax.while_loop(
+                aug_cond, aug_body,
+                (sink, row4col, col4row, jnp.bool_(False), jnp.int32(0)))
+            return (u2, v2, row4col, col4row)
+
+        # sink < 0: no reachable free column (non-finite costs that slipped
+        # past the wrapper's sanitizer) — leave cur_row unassigned rather
+        # than corrupt the duals.
+        return jax.lax.cond(sink >= 0, apply, lambda a: a,
+                            (u, v, row4col, col4row))
 
     def body(row, state):
         return jax.lax.cond(row < n_rows, lambda s: augment(row, s),
@@ -119,6 +140,14 @@ def solve_lsa_batch_pallas(cost: jnp.ndarray, n_rows: jnp.ndarray,
     B, R, C = cost.shape
     if R > C:
         raise ValueError(f"need R <= C, got {cost.shape}")
+    # Sanitize non-finite costs to a finite sentinel larger than any
+    # all-finite assignment (and far below the pad/_CUT band), mirroring
+    # ops/lsa.py: the solve terminates and avoids such entries whenever a
+    # finite assignment exists.
+    finite = jnp.isfinite(cost)
+    big = (jnp.max(jnp.where(finite, jnp.abs(cost), 0.0),
+                   axis=(1, 2), keepdims=True) + 1.0) * (R + 1)
+    cost = jnp.where(finite, cost, big)
     Cp = _round_up(C, 128)
     if Cp != C:
         # Padded columns carry a huge cost: never chosen while real columns

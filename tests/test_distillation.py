@@ -213,7 +213,8 @@ def test_distillation_grad_accum_matches_full_batch():
     import dataclasses
     cfg = dataclasses.replace(
         DIS_CFG,
-        model=dataclasses.replace(DIS_CFG.model, dropout=0.0),
+        model=dataclasses.replace(DIS_CFG.model, dropout=0.0,
+                                  resizer_dropout=0.0),
         loss=dataclasses.replace(DIS_CFG.loss, cluster=False))
     model = build_model(cfg.model, text_vocab_size=600)
     batches = _paired_batch()
@@ -272,7 +273,8 @@ def test_distillation_step_learns():
     (/root/reference/README.md:11; engine.py:119-250)."""
     cfg = dataclasses.replace(
         DIS_CFG,
-        model=dataclasses.replace(DIS_CFG.model, dropout=0.0),
+        model=dataclasses.replace(DIS_CFG.model, dropout=0.0,
+                                  resizer_dropout=0.0),
         optim=dataclasses.replace(DIS_CFG.optim, lr=2e-3, lr_backbone=2e-3,
                                   text_encoder_lr=2e-3, ema=False))
     model = build_model(cfg.model, text_vocab_size=600)

@@ -38,7 +38,8 @@ def _config(root: str, out_dir: str, batch_size: int) -> dict:
         "model": {"backbone": "resnet18-test", "hidden_dim": 64, "nheads": 4,
                   "dim_feedforward": 128, "enc_layers": 1, "dec_layers": 1,
                   "num_queries": 8, "compute_dtype": "float32",
-                  "dropout": 0.0, "contrastive_align_loss": False,
+                  "dropout": 0.0, "resizer_dropout": 0.0,
+                  "contrastive_align_loss": False,
                   "backbone_norm": "group_norm", "text_hidden": 64,
                   "text_layers": 1, "text_heads": 4, "text_intermediate": 128},
         "data": {"coco_path": root, "refexp_ann_path": root + "/annotations",

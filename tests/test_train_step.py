@@ -20,7 +20,7 @@ CFG = Config(
     model=ModelConfig(backbone="resnet18-test", hidden_dim=64, nheads=4,
                       dim_feedforward=128, enc_layers=2, dec_layers=2,
                       num_queries=12, compute_dtype="float32", dropout=0.0,
-                      contrastive_align_loss=False),
+                      resizer_dropout=0.0, contrastive_align_loss=False),
     optim=OptimConfig(lr=2e-3, lr_backbone=2e-3, text_encoder_lr=2e-3,
                       epochs=100, lr_drop=1000, ema=True, ema_decay=0.9,
                       schedule="step", clip_max_norm=0.5),

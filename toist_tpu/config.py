@@ -23,6 +23,11 @@ class ModelConfig:
     dilation: bool = False               # --dilation (main.py:104-112)
     hidden_dim: int = 256                # --hidden_dim (main.py:131-136)
     dropout: float = 0.1                 # --dropout (main.py:137)
+    # The reference hardcodes the FeatureResizer's dropout at 0.1 regardless
+    # of --dropout (transformer.py:473-492) — an explicit knob here instead of
+    # inferring from `dropout`, so dropout=0 parity runs still match the
+    # reference; fully deterministic runs (tests) set BOTH to 0.0.
+    resizer_dropout: float = 0.1
     nheads: int = 8                      # --nheads (main.py:138-143)
     dim_feedforward: int = 2048          # --dim_feedforward (main.py:125-130)
     enc_layers: int = 6                  # --enc_layers (main.py:119-121)
@@ -151,6 +156,14 @@ class OptimConfig:
     # engine.py:88). Lets a single chip (or a small mesh) reproduce the
     # reference's 6-GPU global batch (e.g. 6 x 6 = accum 6 at batch 6).
     # No reference flag — the reference scales only by adding GPUs.
+    # Known deviation when combined with loss.cluster=True: the cluster bank
+    # threads through the microbatch scan, so microbatch k's cluster/nsthl2
+    # losses read a bank already updated by microbatches < k, whereas the
+    # reference's DDP ranks all read the same per-step bank (each rank's
+    # teacher inserts ride one all-gather, mdetr.py:62-103, before the student
+    # losses). The gradient-equality test covers cluster=False
+    # (tests/test_distillation.py); with cluster on, accumulation is an
+    # approximation of the big-batch step, not a bitwise replica.
     grad_accum_steps: int = 1
     # AdamW first-moment dtype ("float32" | "bfloat16"). bfloat16 halves mu
     # HBM traffic/storage (~370 MB at flagship scale); f32 default matches

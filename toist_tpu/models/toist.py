@@ -87,11 +87,12 @@ class TOIST(nn.Module):
             self.learned_pos = LearnedPositionEmbedding2D(
                 cfg.hidden_dim // 2, dtype=dt, name="learned_pos")
         # The reference hardcodes the resizer's dropout at 0.1 independent of
-        # --dropout (transformer.py:473-492); keep that, but let a fully
-        # dropout-free config (tests, deterministic serving) really mean
-        # "no dropout anywhere".
+        # --dropout (transformer.py:473-492), so it gets its own explicit
+        # config knob (default 0.1 = reference behavior at every --dropout;
+        # deterministic runs set model.resizer_dropout=0.0 alongside
+        # model.dropout=0.0).
         self.resizer = FeatureResizer(
-            cfg.hidden_dim, dropout=0.1 if cfg.dropout > 0 else 0.0,
+            cfg.hidden_dim, dropout=cfg.resizer_dropout,
             dtype=dt, name="resizer")
         fused = cfg.fused_attention
         if fused == "auto":

@@ -8,7 +8,8 @@ import torch
 import torch.nn as nn
 
 from toist_tpu.models.layers import MultiheadAttention
-from toist_tpu.utils.convert import (_mha, _lin, _conv, convert_torch_state_dict)
+from toist_tpu.utils.convert import (_mha, _lin, _conv, convert_torch_state_dict,
+                                     synth_reference_state_dict as _synth_reference_state_dict)
 
 
 def test_linear_parity():
@@ -57,123 +58,6 @@ def test_multihead_attention_parity():
                     jnp.asarray(v), key_padding_mask=jnp.asarray(kpm))
     np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
                                atol=2e-5)
-
-
-def _synth_reference_state_dict(stage_sizes=(1, 1, 1, 1), enc=1, dec=1,
-                                d=16, text_layers=1, text_hidden=24,
-                                with_masks=True):
-    """A state_dict with the reference's exact key layout, random values."""
-    rng = np.random.default_rng(0)
-    sd = {}
-
-    def add_lin(key, din, dout):
-        sd[f"{key}.weight"] = rng.normal(size=(dout, din)).astype(np.float32)
-        sd[f"{key}.bias"] = rng.normal(size=(dout,)).astype(np.float32)
-
-    def add_conv(key, cin, cout, k, bias=False):
-        sd[f"{key}.weight"] = rng.normal(
-            size=(cout, cin, k, k)).astype(np.float32)
-        if bias:
-            sd[f"{key}.bias"] = rng.normal(size=(cout,)).astype(np.float32)
-
-    def add_bn(key, c):
-        for suffix in ("weight", "bias", "running_mean", "running_var"):
-            sd[f"{key}.{suffix}"] = rng.normal(size=(c,)).astype(np.float32)
-
-    def add_ln(key, c):
-        sd[f"{key}.weight"] = rng.normal(size=(c,)).astype(np.float32)
-        sd[f"{key}.bias"] = rng.normal(size=(c,)).astype(np.float32)
-
-    def add_mha(key, dm):
-        sd[f"{key}.in_proj_weight"] = rng.normal(
-            size=(3 * dm, dm)).astype(np.float32)
-        sd[f"{key}.in_proj_bias"] = rng.normal(size=(3 * dm,)).astype(np.float32)
-        add_lin(f"{key}.out_proj", dm, dm)
-
-    # backbone
-    base = "backbone.0.body"
-    add_conv(f"{base}.conv1", 3, 64, 7)
-    add_bn(f"{base}.bn1", 64)
-    widths = (64, 128, 256, 512)
-    cin = 64
-    for s, blocks in enumerate(stage_sizes, start=1):
-        w = widths[s - 1]
-        for b in range(blocks):
-            t = f"{base}.layer{s}.{b}"
-            add_conv(f"{t}.conv1", cin, w, 1)
-            add_bn(f"{t}.bn1", w)
-            add_conv(f"{t}.conv2", w, w, 3)
-            add_bn(f"{t}.bn2", w)
-            add_conv(f"{t}.conv3", w, w * 4, 1)
-            add_bn(f"{t}.bn3", w * 4)
-            if b == 0:
-                add_conv(f"{t}.downsample.0", cin, w * 4, 1)
-                add_bn(f"{t}.downsample.1", w * 4)
-            cin = w * 4
-    # heads
-    add_conv("input_proj", 2048, d, 1, bias=True)
-    sd["query_embed.weight"] = rng.normal(size=(100, d)).astype(np.float32)
-    add_lin("class_embed", d, 256)
-    for i in range(3):
-        add_lin(f"bbox_embed.layers.{i}", d, 4 if i == 2 else d)
-    add_lin("contrastive_align_projection_image", d, 64)
-    add_lin("contrastive_align_projection_text", d, 64)
-    # transformer
-    for i in range(enc):
-        t = f"transformer.encoder.layers.{i}"
-        add_mha(f"{t}.self_attn", d)
-        add_lin(f"{t}.linear1", d, 4 * d)
-        add_lin(f"{t}.linear2", 4 * d, d)
-        add_ln(f"{t}.norm1", d)
-        add_ln(f"{t}.norm2", d)
-    for i in range(dec):
-        t = f"transformer.decoder.layers.{i}"
-        add_mha(f"{t}.self_attn", d)
-        add_mha(f"{t}.cross_attn_image", d)
-        add_lin(f"{t}.linear1", d, 4 * d)
-        add_lin(f"{t}.linear2", 4 * d, d)
-        add_ln(f"{t}.norm1", d)
-        add_ln(f"{t}.norm3", d)
-        add_ln(f"{t}.norm4", d)
-    add_ln("transformer.decoder.norm", d)
-    add_lin("transformer.resizer.fc", text_hidden, d)
-    add_ln("transformer.resizer.layer_norm", d)
-    # roberta
-    tb = "transformer.text_encoder"
-    sd[f"{tb}.embeddings.word_embeddings.weight"] = rng.normal(
-        size=(50265, text_hidden)).astype(np.float32)
-    sd[f"{tb}.embeddings.position_embeddings.weight"] = rng.normal(
-        size=(514, text_hidden)).astype(np.float32)
-    sd[f"{tb}.embeddings.token_type_embeddings.weight"] = rng.normal(
-        size=(1, text_hidden)).astype(np.float32)
-    add_ln(f"{tb}.embeddings.LayerNorm", text_hidden)
-    for i in range(text_layers):
-        t = f"{tb}.encoder.layer.{i}"
-        for part in ("query", "key", "value"):
-            add_lin(f"{t}.attention.self.{part}", text_hidden, text_hidden)
-        add_lin(f"{t}.attention.output.dense", text_hidden, text_hidden)
-        add_ln(f"{t}.attention.output.LayerNorm", text_hidden)
-        add_lin(f"{t}.intermediate.dense", text_hidden, 4 * text_hidden)
-        add_lin(f"{t}.output.dense", 4 * text_hidden, text_hidden)
-        add_ln(f"{t}.output.LayerNorm", text_hidden)
-    if with_masks:
-        add_lin("bbox_attention.q_linear", d, d)
-        add_lin("bbox_attention.k_linear", d, d)
-        dims = [d + 8, d // 2, d // 4, d // 8, d // 16]
-        for i in range(1, 6):
-            cin_m = dims[i - 1] if i > 1 else d + 8
-            cout_m = dims[i - 1] if i == 1 else dims[i - 1]
-        # mask head conv chain (cin/cout per reference MaskHeadSmallConv)
-        chain = [(d + 8, d + 8), (d + 8, d // 2), (d // 2, d // 4),
-                 (d // 4, d // 8), (d // 8, d // 16)]
-        for i, (ci, co) in enumerate(chain, start=1):
-            add_conv(f"mask_head.lay{i}", ci, co, 3, bias=True)
-            add_ln(f"mask_head.gn{i}", co)
-        add_conv("mask_head.out_lay", d // 16, 1, 3, bias=True)
-        for i, fc in enumerate((1024, 512, 256), start=1):
-            add_conv(f"mask_head.adapter{i}", fc, [d // 2, d // 4, d // 8][i - 1],
-                     1, bias=True)
-    return sd
 
 
 def test_full_tree_conversion_structure():

@@ -853,8 +853,14 @@ def main():
         return out
 
     dete = timed("dete")
+    # The matrix carries each train workload at BOTH the reference's
+    # hyperparameter-parity batch (seg 2, dis 3x2) and the sublane-aligned
+    # batch 8 (v5e packs the batch dim into 8-wide sublanes; the parity
+    # batches execute as padded 8s — see COMPONENTS.md batch guidance).
     matrix = {stage: timed(stage)
               for stage in ("seg_train", "seg_eval", "dis_train")}
+    matrix["seg_train_b8"] = timed("seg_train:8:flat")
+    matrix["dis_train_b8"] = timed("dis_train:8:1")
     matrix["stage_wall_seconds"] = stage_secs
     pipeline = measure_pipeline()
     eval_img_s = dete.get("eval_images_per_sec", 0.0)

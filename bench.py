@@ -509,6 +509,14 @@ def measure_dis_train(B: int = 3, accum: int = 1):
     rng = jax.random.PRNGKey(0)
     lowered = dstep.lower(state, batches, rng)
     flops = _flops_of(lowered.compile())
+    # XLA cost analysis counts a scan body ONCE regardless of trip count, so
+    # the accumulation scan's per-update FLOPs come back ~accum-fold low
+    # (first measured: 8x2 accum-2 read 17.0% "MFU" while running the exact
+    # 33%-MFU microbatch executable back-to-back). Scale by the trip count;
+    # the only thing genuinely executed once per update (optimizer/EMA
+    # tree-map, ~10 flops/param) is <0.1% of a step, so the overcount from
+    # scaling it too is noise.
+    flops *= accum
     state, scalars = dstep(state, batches, rng)
     np.asarray(scalars["loss"])
     # The softkd/matching solve iteration counts are data-dependent and the
@@ -784,6 +792,13 @@ def run_stage(stage: str):
         out = {"steps_per_sec": round(s, 3), "imgs_per_sec": round(i, 2),
                "tflops_per_sec": round(tf, 2),
                "mfu_pct": round(100 * tf / peak, 2)}
+        if int(accums) > 1:
+            # flops = trip-count-scaled scan-body cost analysis (see
+            # measure_dis_train); the body's own analysis can differ a few %
+            # from the standalone microbatch step, so img/s is the exact
+            # cross-row comparable and mfu_pct the approximation here.
+            out["mfu_basis"] = ("scan body flops x accum; imgs_per_sec is "
+                                "the exact comparable")
     elif stage == "train_scaling":
         # Opt-in (not in the default matrix — extra train compiles):
         # batch-scaling probe behind the COMPONENTS.md envelope rows. The

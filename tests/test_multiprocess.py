@@ -33,6 +33,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _dis_config(root: str, out_dir: str, batch_size: int) -> dict:
+    """Distillation (teacher+student, softkd+nsthl2+cluster bank) at fixture
+    scale. Bank small enough (8 rows) that one epoch FILLS it, exercising the
+    replace-nearest branch across processes, not just FIFO inserts."""
+    cfg = _config(root, out_dir, batch_size)
+    cfg["loss"] = {"distillation": True, "softkd_loss": True,
+                   "softkd_coef": 50.0, "nsthl2_loss": True, "cluster": True,
+                   "cluster_memory_size": 8, "cluster_num": 2,
+                   "cluster_feature_loss": 1e4, "kmeans_max_iters": 8}
+    return cfg
+
+
 def _config(root: str, out_dir: str, batch_size: int) -> dict:
     return {
         "model": {"backbone": "resnet18-test", "hidden_dim": 64, "nheads": 4,
@@ -95,11 +107,12 @@ def test_two_process_run_matches_single_process(tmp_path):
     out, err = proc.communicate(timeout=540)
     assert proc.returncode == 0, (out[-2000:], err[-4000:])
 
-    # Two processes x 2 devices: per-process batch 2 -> the SAME global
-    # batch of 4 (shards interleave the same shuffled order), so the runs
+    # Two processes x 2 devices = a 4-device data mesh: per-DEVICE batch 1
+    # -> the SAME global batch of 4 (each process contributes its 2-row
+    # local slice; shards interleave the same shuffled order), so the runs
     # are numerically equivalent up to reduction order.
     mp_out = str(tmp_path / "mp")
-    cfg2 = _config(root, mp_out, batch_size=2)
+    cfg2 = _config(root, mp_out, batch_size=1)
     p2 = str(tmp_path / "mp.json")
     json.dump(cfg2, open(p2, "w"))
     port = _free_port()
@@ -185,3 +198,100 @@ def test_two_process_run_matches_single_process(tmp_path):
          for p, l in leaves_s])
     assert float(np.quantile(diffs, 0.999)) < 1e-5, np.quantile(diffs, 0.999)
     assert float(diffs.max()) < 1e-3, diffs.max()
+
+
+@pytest.mark.slow
+def test_two_process_distillation_bank_matches_single_process(tmp_path):
+    """The distillation step under the REAL 2-process coordinator (VERDICT r4
+    directive #6): the cluster bank is the one piece of cross-replica state
+    with bespoke determinism logic (train/cluster.py applies gathered rows via
+    a deterministic scan in global batch order instead of the reference's
+    concat-order-dependent all_gather, mdetr.py:62-103). Assert the final
+    bank (feature rows, k-means centers, counters) and the per-step losses
+    are identical whether the global batch lives on 1 local device or is
+    assembled from 2 processes."""
+    root = generate_fixture(str(tmp_path / "data"), num_tasks=2,
+                            imgs_per_split=4, img_size=(96, 128), seed=7)
+
+    # Single-process reference: global paired batch 2 on a 1-device mesh.
+    single_out = str(tmp_path / "single")
+    cfg1 = _dis_config(root, single_out, batch_size=2)
+    p1 = str(tmp_path / "single.json")
+    json.dump(cfg1, open(p1, "w"))
+    proc = _launch(p1, n_devices=1, env_extra={})
+    out, err = proc.communicate(timeout=540)
+    assert proc.returncode == 0, (out[-2000:], err[-4000:])
+
+    # Two processes x 1 device: per-device batch 1 -> the same global 2.
+    mp_out = str(tmp_path / "mp")
+    cfg2 = _dis_config(root, mp_out, batch_size=1)
+    p2 = str(tmp_path / "mp.json")
+    json.dump(cfg2, open(p2, "w"))
+    port = _free_port()
+    procs = [
+        _launch(p2, n_devices=1, env_extra={
+            "TOIST_COORDINATOR": f"localhost:{port}",
+            "TOIST_NUM_PROCESSES": "2",
+            "TOIST_PROCESS_ID": str(i),
+        }) for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            o, e = p.communicate(timeout=540)
+            outs.append((p.returncode, o, e))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, o, e in outs:
+        assert rc == 0, (o[-2000:], e[-4000:])
+
+    # Per-step loss equality (incl. the cluster/softkd/nsthl2 components the
+    # bank feeds): the global step math is topology-independent. Step 1 runs
+    # on IDENTICAL params, so every component must match to float-noise;
+    # later steps accumulate reduction-order drift through AdamW and the
+    # entropic softkd solve (whose iterate is sensitive to last-ulp logits
+    # — measured rel 8e-4 on loss_softkd by step 4), so they get a loose
+    # bound that still catches any structural divergence (wrong rows in the
+    # bank, a missing psum) which shows up at O(1), not O(1e-3).
+    log1, _ = _eval_records(single_out)
+    log2, _ = _eval_records(mp_out)
+    steps1 = [r for r in log1 if r["kind"] == "train_step"]
+    steps2 = [r for r in log2 if r["kind"] == "train_step"]
+    assert steps1 and [r["step"] for r in steps1] == \
+        [r["step"] for r in steps2]
+    for r1, r2 in zip(steps1, steps2):
+        first = r1["step"] == steps1[0]["step"]
+        for k in r1:
+            if k.startswith("loss") and isinstance(r1[k], float):
+                np.testing.assert_allclose(
+                    r2[k], r1[k], rtol=1e-5 if first else 1e-2,
+                    atol=1e-6 if first else 1e-4,
+                    err_msg=f"step {r1['step']} {k}")
+
+    # Bank equality from the final checkpoints: the deterministic-scan update
+    # order must make the 2-process bank STRUCTURALLY identical to the
+    # single-process one — integer state (insert counters, full flags) must
+    # be bit-equal, and every feature row / k-means center must be the same
+    # row up to the parameter drift above (rows inserted at step k reflect
+    # k-1 reduction-order-divergent AdamW updates of the teacher).
+    from toist_tpu.train.checkpoint import _ckptr
+    s1 = _ckptr().restore(os.path.join(single_out, "checkpoint"))["state"]
+    s2 = _ckptr().restore(os.path.join(mp_out, "checkpoint"))["state"]
+    b1, b2 = s1["cluster_bank"], s2["cluster_bank"]
+    assert b1 and b2
+    np.testing.assert_array_equal(np.asarray(b2["update_count"]),
+                                  np.asarray(b1["update_count"]))
+    np.testing.assert_array_equal(np.asarray(b2["full"]),
+                                  np.asarray(b1["full"]))
+    # One epoch of 8 paired samples through an 8-row bank: full flag behavior
+    # and counts must show the bank actually cycled.
+    assert int(np.asarray(b1["update_count"]).sum()) >= 8
+    for key in ("feature_bank", "cluster_centers"):
+        a1, a2 = np.asarray(b1[key]), np.asarray(b2[key])
+        # Row correspondence (same slot got the same sample's feature):
+        # a wrong-order insert puts a DIFFERENT sample's row in the slot,
+        # whose distance is O(row norm), orders above the drift bound.
+        np.testing.assert_allclose(a2, a1, atol=5e-3, err_msg=key)
+        assert float(np.abs(a2 - a1).mean()) < 5e-4, (key, np.abs(a2 - a1).mean())

@@ -139,7 +139,11 @@ class OptimConfig:
     lr: float = 5e-5
     lr_backbone: float = 1e-5
     text_encoder_lr: float = 1e-5
-    train_batch_size: int = 6            # per-device
+    # Batch sizes are PER data-parallel device — the reference's per-GPU
+    # semantics (scripts/train_dete.sh: batch 6 x 6 GPUs = global 36). The
+    # driver multiplies by the mesh's data-axis extent: the global train
+    # step batch is train_batch_size * grad_accum_steps * n_data (main.py).
+    train_batch_size: int = 6
     valid_batch_size: int = 8
     weight_decay: float = 1e-4
     epochs: int = 60

@@ -102,10 +102,16 @@ def maybe_init_distributed() -> None:
 
     coord = os.environ.get("TOIST_COORDINATOR")
     if coord:
+        # Heartbeat default (100 s) is tuned for dedicated hosts; a loaded
+        # shared machine (CI, the 1-core dev VM) can starve a worker's
+        # heartbeat thread through a minutes-long XLA compile and get it
+        # evicted mid-run. Overridable for genuinely flaky networks.
+        hb = int(os.environ.get("TOIST_HEARTBEAT_TIMEOUT_S", "600"))
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["TOIST_NUM_PROCESSES"]),
-            process_id=int(os.environ["TOIST_PROCESS_ID"]))
+            process_id=int(os.environ["TOIST_PROCESS_ID"]),
+            heartbeat_timeout_seconds=hb)
         print(f"jax.distributed: process {jax.process_index()}/"
               f"{jax.process_count()} via {coord}", flush=True)
         return
@@ -151,6 +157,20 @@ def main(cfg: Config) -> Optional[float]:
                                       masks=cfg.model.masks)
                 for t in cfg.data.tasks}
 
+    # Batch sizes are PER data-parallel device — the reference's per-GPU
+    # batch semantics (scripts/train_dete.sh: 6 GPUs x batch 6 = global 36;
+    # DistributedSampler main.py:409). The global step batch is
+    # train_batch_size * accum * n_data; each process's iterator contributes
+    # its local-device share of rows (make_array_from_process_local_data
+    # assembles the global array in parallel/mesh.shard_batch).
+    n_data = mesh.shape["data"] if "data" in mesh.axis_names else 1
+    if n_data % jax.process_count():
+        raise ValueError(
+            f"data axis ({n_data}) must be divisible by the process count "
+            f"({jax.process_count()}): every process contributes an equal "
+            "local slice of the global batch")
+    local_dp = n_data // jax.process_count()
+
     train_iter = None
     if train_sets:
         # With gradient accumulation the step consumes accum * B samples and
@@ -159,7 +179,7 @@ def main(cfg: Config) -> Optional[float]:
         train_iter = BatchIterator(
             train_sets, train_spec,
             batch_size=(cfg.optim.train_batch_size
-                        * cfg.optim.grad_accum_steps),
+                        * cfg.optim.grad_accum_steps * local_dp),
             seed=cfg.run.seed, shuffle=True,
             shard_id=jax.process_index(), num_shards=jax.process_count(),
             paired=cfg.loss.distillation, num_workers=cfg.data.num_workers,
@@ -291,10 +311,17 @@ def main(cfg: Config) -> Optional[float]:
                                    with_masks=cfg.model.masks)
     rng = jax.random.PRNGKey(cfg.run.seed)
 
+    # Eval batch: per-device too. Multi-process eval is host-sharded (each
+    # process evaluates its val slice on LOCAL devices, engine.evaluate), so
+    # there the per-process batch stays valid_batch_size — the reference's
+    # per-GPU eval batch (scripts/eval_dete.sh).
+    eval_batch = cfg.optim.valid_batch_size * (
+        n_data if jax.process_count() == 1 else 1)
+
     def run_eval(params, epoch: int = 0) -> float:
         results = engine.evaluate(
             eval_step, params, val_sets, eval_spec,
-            batch_size=cfg.optim.valid_batch_size, mesh=mesh,
+            batch_size=eval_batch, mesh=mesh,
             iou_types=("bbox",) if not cfg.model.masks else ("bbox", "segm"))
         m = mean_ap50(results)
         jsonl.write({"kind": "eval", "mean_ap50": m,

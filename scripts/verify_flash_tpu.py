@@ -8,6 +8,15 @@ dropout keep-rate/unbiasedness/seed-sensitivity, and wall-clock per call
 fused vs unfused at the flagship encoder shape.
 
 Usage: python scripts/verify_flash_tpu.py  (one TPU process at a time)
+
+Real-chip record (round 5, after the exp2/128-granularity kernel rewrite):
+fwd_max_abs_diff 0.0039 (scale 0.96), dq/dk/dv max_abs_diff
+0.0078/0.0078/0.0020 (scales 1.5/1.41/1.38) — bf16-resolution agreement;
+dropout: same-seed identical, diff-seed differs, mean-out ratio 1.055,
+all finite. NB the timing rows here are host-dispatch-dominated on this VM
+(~25 ms/dispatch, CLAUDE.md) — kernel timing authority is
+scripts/bench_attention.py, which chains iterations inside one jitted scan
+(round-5 record: fwd 1.23 ms / train fwd+bwd 2.44 ms at B=16 H=8 S=1116).
 """
 from __future__ import annotations
 

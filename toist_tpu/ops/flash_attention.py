@@ -17,6 +17,20 @@ Design notes (TPU-first):
     contraction with native (8,128) tiling — no in-kernel lane slicing or
     relayouts. The pad costs 4x on q/k/v/o HBM bytes, which is noise next to
     the removed [B,H,S,S] round-trips.
+  * Sequence padding at LANE (128) granularity for keys and a per-shape
+    q-block choice (_choose_bq) that minimizes padded query rows: the
+    flagship S=1116 pads to 1152 keys (not 256-block 1280 — 19% less score
+    work), and 100-query decoder/cross-attention rows pad to 128 (not 256).
+    The k-block of the dK/dV grid is the largest 128-multiple dividing Sp.
+  * Scores are kept in log2 space: the kernels compute
+    s2 = QK^T * (sm_scale*log2e) + bias*log2e and use exp2/log2, turning
+    exp's implicit per-element x*log2e multiply into a fold into the one
+    fused multiply-add the score pass already does; the backward kernels
+    drop their per-score *sm_scale pass by scaling the [rows, hd_pad]
+    matmul OUTPUT by sm_scale instead (dL/dq = sm_scale * (P o (dP-D)) K).
+    The forward softmax division is likewise deferred from the [BQ, Sp]
+    probability matrix to the [BQ, hd_pad] PV output (exact: 1/l is
+    per-row).
   * Per-(batch*head, q-block) grid; K/V for the whole sequence live in VMEM
     (S<=~1.4k -> ~350KB bf16 at hd_pad=128), so softmax is exact per row —
     no online-rescaling passes.
@@ -47,12 +61,42 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e9  # matches models/layers.NEG_INF
-_BLOCK = 256    # q/k tile size; sequences are padded to a multiple of this
-_LANE = 128     # head dim padded to a full lane tile
+_LANE = 128     # head dim padded to a full lane tile; key-seq pad granularity
+_LOG2E = 1.4426950408889634  # log2(e): scores carried in log2 space
+_LN2 = 0.6931471805599453
+# Microbench overrides (scripts/bench_attention.py); 0 = per-shape choice.
+_FORCE_BQ = 0
+_FORCE_BK = 0
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _choose_bq(sq: int) -> int:
+    """Q-tile size: minimize padded query rows, tie-break to the largest
+    tile (fewer grid steps / longer MXU M-dim). Swept on-chip at the
+    flagship encoder shape (S=1116): 576/384/256/192 q-tiles time
+    1.23/1.27/1.59/1.47 ms fwd; the f32 score intermediates
+    [BQ<=576, Sp<=1408] stay comfortably in VMEM."""
+    if _FORCE_BQ:
+        return _FORCE_BQ
+    cands = (576, 384, 256, 192, 128)
+    best = min(_round_up(sq, b) for b in cands)
+    for b in cands:
+        if _round_up(sq, b) == best:
+            return b
+    raise AssertionError
+
+
+def _choose_bk(sp: int) -> int:
+    """K-tile of the dK/dV grid: largest 128-multiple dividing Sp."""
+    if _FORCE_BK:
+        return _FORCE_BK
+    for b in (512, 384, 256, 128):
+        if sp % b == 0:
+            return b
+    raise AssertionError(sp)
 
 
 def _drop_tile(seed_ref, tile_idx, shape, drop_q: int):
@@ -86,42 +130,43 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     s = jax.lax.dot_general(
         qh, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [BQ, Sp]
-    s = s * sm_scale + bias_ref[0]                       # + [1, Sp]
+    # Scores in log2 space: one fused multiply-add (bias is pre-scaled by
+    # log2e outside), exp2 instead of exp.
+    s = s * (sm_scale * _LOG2E) + bias_ref[0]            # + [1, Sp]
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    lse_ref[0] = m + jnp.log(l)                          # [BQ, 1]
-    p = e / l
+    lse_ref[0] = m + jnp.log2(l)                         # [BQ, 1] (log2!)
     if drop_q > 0:
-        p = p * _drop_row(seed_ref, bh, qi, nq, nk, p.shape, drop_q)
-    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+        e = e * _drop_row(seed_ref, bh, qi, nq, nk, e.shape, drop_q)
+    o = jnp.dot(e.astype(v_ref.dtype), v_ref[0],
                 preferred_element_type=jnp.float32)      # [BQ, HDP]
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o / l).astype(o_ref.dtype)               # deferred 1/l
 
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                 dsum_ref, dk_ref, dv_ref, *, nq: int, nk: int, drop_q: int,
-                sm_scale: float):
+                sm_scale: float, bq: int):
     import jax.experimental.pallas as pl
 
     bh, ki = pl.program_id(0), pl.program_id(1)
     kh = k_ref[0]                                        # [BK, HDP]
     vh = v_ref[0]
-    bias_k = bias_ref[0]                                 # [1, BK]
+    bias_k = bias_ref[0]                                 # [1, BK] (log2)
     BK = kh.shape[0]
     dk = jnp.zeros((BK, kh.shape[1]), jnp.float32)
     dv = jnp.zeros((BK, kh.shape[1]), jnp.float32)
     for qi in range(nq):
-        qs = slice(qi * _BLOCK, (qi + 1) * _BLOCK)
+        qs = slice(qi * bq, (qi + 1) * bq)
         qh = q_ref[0, qs, :]                             # [BQ, HDP]
         doh = do_ref[0, qs, :]
-        lse = lse_ref[0, qs, :]                          # [BQ, 1]
+        lse = lse_ref[0, qs, :]                          # [BQ, 1] (log2)
         dsum = dsum_ref[0, qs, :]                        # [BQ, 1]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [BQ, BK]
-        s = s * sm_scale + bias_k
-        p = jnp.exp(s - lse)
+        s = s * (sm_scale * _LOG2E) + bias_k
+        p = jnp.exp2(s - lse)
         dp = jax.lax.dot_general(
             doh, vh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [BQ, BK]
@@ -132,15 +177,16 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
             dp = dp * mask
         else:
             ptil = p
-        # dV += P~^T dO ; dS = P (dP - D) ; dK += dS^T Q * scale
+        # dV += P~^T dO ; dK += sm_scale * (P o (dP - D))^T Q — the
+        # per-score *sm_scale pass is deferred to the [BK, HDP] output.
         dv = dv + jax.lax.dot_general(
             ptil.astype(v_ref.dtype), doh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = (p * (dp - dsum) * sm_scale).astype(q_ref.dtype)
+        ds = (p * (dp - dsum)).astype(q_ref.dtype)
         dk = dk + jax.lax.dot_general(
             ds, qh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
@@ -157,16 +203,17 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     s = jax.lax.dot_general(
         qh, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [BQ, Sp]
-    s = s * sm_scale + bias_ref[0]
-    p = jnp.exp(s - lse)
+    s = s * (sm_scale * _LOG2E) + bias_ref[0]
+    p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(
         doh, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [BQ, Sp]
     if drop_q > 0:
         dp = dp * _drop_row(seed_ref, bh, qi, nq, nk, p.shape, drop_q)
-    ds = (p * (dp - dsum) * sm_scale).astype(q_ref.dtype)
+    # dQ = sm_scale * (P o (dP - D)) K — scale deferred to the output.
+    ds = (p * (dp - dsum)).astype(q_ref.dtype)
     dq = jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
 def _specs(shape_blocks):
@@ -182,13 +229,13 @@ def _specs(shape_blocks):
     return out
 
 
-def _forward(q, k, v, bias, seed, H, hd_true, drop_q, interpret):
-    """q/k/v [BH, S*, HDP]; bias [B, 1, Sp]; returns (o, lse)."""
+def _forward(q, k, v, bias, seed, H, hd_true, drop_q, interpret, bq, bk):
+    """q/k/v [BH, S*, HDP]; bias [B, 1, Sp] (log2 units); returns (o, lse)."""
     import jax.experimental.pallas as pl
 
     BH, Sqp, HDP = q.shape
     Sp = k.shape[1]
-    nq, nk = Sqp // _BLOCK, Sp // _BLOCK
+    nq, nk = Sqp // bq, Sp // bk
     kern = functools.partial(_fwd_kernel, nq=nq, nk=nk, drop_q=drop_q,
                              sm_scale=1.0 / float(np.sqrt(hd_true)))
     o, lse = pl.pallas_call(
@@ -196,14 +243,14 @@ def _forward(q, k, v, bias, seed, H, hd_true, drop_q, interpret):
         grid=(BH, nq),
         in_specs=_specs([
             (None, None),                                    # seed (SMEM)
-            ((1, _BLOCK, HDP), lambda bh, qi: (bh, qi, 0)),  # q block
+            ((1, bq, HDP), lambda bh, qi: (bh, qi, 0)),      # q block
             ((1, Sp, HDP), lambda bh, qi: (bh, 0, 0)),       # k full
             ((1, Sp, HDP), lambda bh, qi: (bh, 0, 0)),       # v full
             ((1, 1, Sp), lambda bh, qi: (bh // H, 0, 0)),    # bias
         ]),
         out_specs=_specs([
-            ((1, _BLOCK, HDP), lambda bh, qi: (bh, qi, 0)),  # o
-            ((1, _BLOCK, 1), lambda bh, qi: (bh, qi, 0)),    # lse
+            ((1, bq, HDP), lambda bh, qi: (bh, qi, 0)),      # o
+            ((1, bq, 1), lambda bh, qi: (bh, qi, 0)),        # lse
         ]),
         out_shape=[
             jax.ShapeDtypeStruct((BH, Sqp, HDP), q.dtype),
@@ -215,12 +262,12 @@ def _forward(q, k, v, bias, seed, H, hd_true, drop_q, interpret):
 
 
 def _backward(q, k, v, bias, seed, o, lse, do, H, hd_true, drop_q,
-              interpret):
+              interpret, bq, bk):
     import jax.experimental.pallas as pl
 
     BH, Sqp, HDP = q.shape
     Sp = k.shape[1]
-    nq, nk = Sqp // _BLOCK, Sp // _BLOCK
+    nq, nk = Sqp // bq, Sp // bk
     sm_scale = 1.0 / float(np.sqrt(hd_true))
     do = do.astype(q.dtype)
     # D_i = sum_hd dO * O per row, [BH, Sqp, 1] f32.
@@ -228,23 +275,23 @@ def _backward(q, k, v, bias, seed, o, lse, do, H, hd_true, drop_q,
                    axis=-1, keepdims=True)
 
     kern_a = functools.partial(_dkv_kernel, nq=nq, nk=nk, drop_q=drop_q,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale, bq=bq)
     dk, dv = pl.pallas_call(
         kern_a,
         grid=(BH, nk),
         in_specs=_specs([
             (None, None),                                    # seed
             ((1, Sqp, HDP), lambda bh, ki: (bh, 0, 0)),      # q full
-            ((1, _BLOCK, HDP), lambda bh, ki: (bh, ki, 0)),  # k block
-            ((1, _BLOCK, HDP), lambda bh, ki: (bh, ki, 0)),  # v block
-            ((1, 1, _BLOCK), lambda bh, ki: (bh // H, 0, ki)),  # bias block
+            ((1, bk, HDP), lambda bh, ki: (bh, ki, 0)),      # k block
+            ((1, bk, HDP), lambda bh, ki: (bh, ki, 0)),      # v block
+            ((1, 1, bk), lambda bh, ki: (bh // H, 0, ki)),   # bias block
             ((1, Sqp, HDP), lambda bh, ki: (bh, 0, 0)),      # do full
             ((1, Sqp, 1), lambda bh, ki: (bh, 0, 0)),        # lse full
             ((1, Sqp, 1), lambda bh, ki: (bh, 0, 0)),        # dsum full
         ]),
         out_specs=_specs([
-            ((1, _BLOCK, HDP), lambda bh, ki: (bh, ki, 0)),  # dk
-            ((1, _BLOCK, HDP), lambda bh, ki: (bh, ki, 0)),  # dv
+            ((1, bk, HDP), lambda bh, ki: (bh, ki, 0)),      # dk
+            ((1, bk, HDP), lambda bh, ki: (bh, ki, 0)),      # dv
         ]),
         out_shape=[
             # Accumulated in f32 in-kernel, stored at the input dtype: bitwise
@@ -263,16 +310,16 @@ def _backward(q, k, v, bias, seed, o, lse, do, H, hd_true, drop_q,
         grid=(BH, nq),
         in_specs=_specs([
             (None, None),                                    # seed
-            ((1, _BLOCK, HDP), lambda bh, qi: (bh, qi, 0)),  # q block
+            ((1, bq, HDP), lambda bh, qi: (bh, qi, 0)),      # q block
             ((1, Sp, HDP), lambda bh, qi: (bh, 0, 0)),       # k full
             ((1, Sp, HDP), lambda bh, qi: (bh, 0, 0)),       # v full
             ((1, 1, Sp), lambda bh, qi: (bh // H, 0, 0)),    # bias
-            ((1, _BLOCK, HDP), lambda bh, qi: (bh, qi, 0)),  # do block
-            ((1, _BLOCK, 1), lambda bh, qi: (bh, qi, 0)),    # lse block
-            ((1, _BLOCK, 1), lambda bh, qi: (bh, qi, 0)),    # dsum block
+            ((1, bq, HDP), lambda bh, qi: (bh, qi, 0)),      # do block
+            ((1, bq, 1), lambda bh, qi: (bh, qi, 0)),        # lse block
+            ((1, bq, 1), lambda bh, qi: (bh, qi, 0)),        # dsum block
         ]),
         out_specs=_specs([
-            ((1, _BLOCK, HDP), lambda bh, qi: (bh, qi, 0)),  # dq
+            ((1, bq, HDP), lambda bh, qi: (bh, qi, 0)),      # dq
         ]),
         out_shape=[jax.ShapeDtypeStruct((BH, Sqp, HDP), q.dtype)],
         interpret=interpret,
@@ -281,23 +328,25 @@ def _backward(q, k, v, bias, seed, o, lse, do, H, hd_true, drop_q,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_mha(H: int, hd_true: int, drop_q: int, interpret: bool):
+def _make_mha(H: int, hd_true: int, drop_q: int, interpret: bool,
+              bq: int, bk: int):
     """custom_vjp fused attention for a given head count / head dim /
-    dropout setting (all static)."""
+    dropout / tile-size setting (all static)."""
 
     @jax.custom_vjp
     def mha(q, k, v, bias, seed):
         return _forward(q, k, v, bias, seed, H, hd_true, drop_q,
-                        interpret)[0]
+                        interpret, bq, bk)[0]
 
     def fwd(q, k, v, bias, seed):
-        o, lse = _forward(q, k, v, bias, seed, H, hd_true, drop_q, interpret)
+        o, lse = _forward(q, k, v, bias, seed, H, hd_true, drop_q, interpret,
+                          bq, bk)
         return o, (q, k, v, bias, seed, o, lse)
 
     def bwd(res, do):
         q, k, v, bias, seed, o, lse = res
         dq, dk, dv = _backward(q, k, v, bias, seed, o, lse, do, H, hd_true,
-                               drop_q, interpret)
+                               drop_q, interpret, bq, bk)
         dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
         return dq, dk, dv, jnp.zeros_like(bias), dseed
 
@@ -326,28 +375,31 @@ def _fused_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert D % H == 0, (D, H)
     hd = D // H
     HDP = _round_up(hd, _LANE)
-    Sqp, Sp = _round_up(Sq, _BLOCK), _round_up(S, _BLOCK)
+    bq = _choose_bq(Sq)
+    Sqp, Sp = _round_up(Sq, bq), _round_up(S, _LANE)
+    bk = _choose_bk(Sp)
     qp = _to_head_major(q, H, Sqp, HDP)
     kp = _to_head_major(k, H, Sp, HDP)
     vp = _to_head_major(v, H, Sp, HDP)
     # Sequence-padding columns get 2*NEG_INF: strictly below masked REAL keys
     # (NEG_INF), so a fully-masked row (padded sample) still softmaxes
     # uniformly over its real keys exactly like the unfused path, while the
-    # artificial pad keys underflow to zero probability.
+    # artificial pad keys underflow to zero probability. The whole bias is
+    # pre-scaled by log2e — the kernels carry scores in log2 space.
     if key_padding_mask is not None:
-        bias = jnp.where(key_padding_mask, jnp.float32(NEG_INF),
+        bias = jnp.where(key_padding_mask, jnp.float32(NEG_INF * _LOG2E),
                          jnp.float32(0.0))
     else:
         bias = jnp.zeros((B, S), jnp.float32)
     bias = jnp.pad(bias, ((0, 0), (0, Sp - S)),
-                   constant_values=jnp.float32(2 * NEG_INF))
+                   constant_values=jnp.float32(2 * NEG_INF * _LOG2E))
     bias = bias[:, None, :]                              # [B, 1, Sp]
     drop_q = 0
     if not deterministic and dropout_rate > 0.0:
         drop_q = min(int(round(dropout_rate * 256.0)), 255)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    fn = _make_mha(H, hd, drop_q, interpret)
+    fn = _make_mha(H, hd, drop_q, interpret, bq, bk)
     o = fn(qp, kp, vp, bias, seed)                       # [BH, Sqp, HDP]
     o = o[:, :Sq, :hd].reshape(B, H, Sq, hd).transpose(0, 2, 1, 3)
     return o.reshape(B, Sq, D)

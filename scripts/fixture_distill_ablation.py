@@ -49,7 +49,8 @@ def mirror_val_to_train(root: str, tasks) -> None:
                             os.path.join(root, "val2014", im["file_name"]))
 
 
-def base_config(root: str, out_dir: str, seed: int, **extra):
+def base_config(root: str, out_dir: str, seed: int, epochs: int = EPOCHS,
+                **extra):
     from toist_tpu.config import Config
     over = {
         "model": {"backbone": "resnet18-test", "hidden_dim": 64, "nheads": 4,
@@ -65,9 +66,9 @@ def base_config(root: str, out_dir: str, seed: int, **extra):
                  "max_text_len": 48, "max_boxes": 8, "train_scales": [96],
                  "max_size": 128, "val_size": 96},
         "optim": {"train_batch_size": 2, "valid_batch_size": 2,
-                  "epochs": EPOCHS, "lr": 1e-3, "lr_backbone": 1e-3,
+                  "epochs": epochs, "lr": 1e-3, "lr_backbone": 1e-3,
                   "text_encoder_lr": 1e-3, "ema": False,
-                  "eval_skip": EPOCHS - 1},
+                  "eval_skip": max(1, epochs - 1)},
         "run": {"output_dir": out_dir, "seed": seed, "mesh_shape": [1]},
     }
     for sec, kv in extra.items():
@@ -81,7 +82,7 @@ def last_eval_ap(out_dir: str) -> float:
     return float(evals[-1]["mean_ap50"])
 
 
-def run(workdir: str) -> dict:
+def run(workdir: str, epochs: int = EPOCHS) -> dict:
     from toist_tpu.data.fixtures import generate_fixture
     from toist_tpu.main import main
 
@@ -91,20 +92,20 @@ def run(workdir: str) -> dict:
 
     # 1. Teacher on privileged noun captions (scripts/train_dete_noun.sh).
     tdir = os.path.join(workdir, "teacher")
-    main(base_config(root, tdir, seed=0,
+    main(base_config(root, tdir, seed=0, epochs=epochs,
                      data={"verb_noun_input": True}))
     teacher_ap = last_eval_ap(tdir)
 
     # 2. Plain pronoun student (scripts/train_dete.sh).
     pdir = os.path.join(workdir, "plain")
-    main(base_config(root, pdir, seed=1))
+    main(base_config(root, pdir, seed=1, epochs=epochs))
     plain_ap = last_eval_ap(pdir)
 
     # 3. Distilled pronoun student: same init (seed 1), same epochs, teacher
     #    warm-started from step 1 (scripts/train_dete_dis.sh flow).
     ddir = os.path.join(workdir, "distill")
     main(base_config(
-        root, ddir, seed=1,
+        root, ddir, seed=1, epochs=epochs,
         run={"load_noun": os.path.join(tdir, "checkpoint")},
         loss={"distillation": True, "softkd_loss": True, "softkd_coef": 50.0,
               "nsthl2_loss": True, "nsthl2_coef": 1.0, "cluster": True,
@@ -115,13 +116,14 @@ def run(workdir: str) -> dict:
     return {"teacher_ap50": teacher_ap, "plain_student_ap50": plain_ap,
             "distill_student_ap50": distill_ap,
             "distill_minus_plain": distill_ap - plain_ap,
-            "epochs": EPOCHS}
+            "epochs": epochs}
 
 
 def main_cli():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="")
     p.add_argument("--workdir", default="")
+    p.add_argument("--epochs", type=int, default=EPOCHS)
     p.add_argument("--platform", default="cpu",
                    help="JAX platform ('' keeps the session default)")
     args = p.parse_args()
@@ -129,7 +131,7 @@ def main_cli():
         import jax
         jax.config.update("jax_platforms", args.platform)
     wd = args.workdir or tempfile.mkdtemp(prefix="toist_distill_abl_")
-    res = run(wd)
+    res = run(wd, epochs=args.epochs)
     print(json.dumps(res))
     if args.out:
         with open(args.out, "w") as f:

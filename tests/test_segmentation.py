@@ -261,8 +261,69 @@ def test_mask_postprocess_start_finish_matches_sync():
     for b in range(2):
         for q in range(3):
             assert out[b][q] == sync[b][q], (b, q)
-    # Both packed axes cropped: bytes = B*Q*max_ow*ceil(max_oh/8), not OH*OW.
-    assert timings["packed_mb"] * 1e6 == 2 * 3 * 160 * ((120 + 7) // 8)
+    # Random-normal masks are salt-and-pepper (>8 transitions per column):
+    # both samples must take the per-sample packed-bits fallback, and the
+    # wire accounting = transition tensors (cropped to max_ow=160, kc=8,
+    # uint16) + overflow flags + the fallback packed bits
+    # (B*Q*max_ow*ceil(max_oh/8), both axes cropped).
+    assert timings["n_overflow_samples"] == 2
+    expect = (2 * 3 * 160 * 8 * 2     # pos uint16
+              + 2 * 3 * 160 * 2      # cnt uint16
+              + 2                    # overflow bools
+              + 2 * 3 * 160 * ((120 + 7) // 8))  # packed fallback pulls
+    assert round(timings["packed_mb"] * 1e6) == expect, timings
+
+
+def test_mask_postprocess_transitions_path():
+    """Blob-like masks (the trained-model regime) must take the device
+    RLE-transitions path — no packed-bits fallback, ~3x fewer wire bytes at
+    COCO sizes — and produce RLEs identical to the host path. Includes
+    stream-start-with-1 (first RLE count 0), column-wrap transitions,
+    all-zero and all-one masks, and the exactly-kc boundary."""
+    from toist_tpu.models.postprocess import (postprocess_masks_device,
+                                              postprocess_masks_host)
+
+    # Identity resize: sizes = 4*h4 so the crop is the full low-res grid and
+    # orig == (h4, w4) -> bits == (pm > 0), giving exact control of the
+    # transition structure.
+    h4, w4 = 52, 84
+    B, Q = 2, 5
+    pm = np.full((B, Q, h4, w4), -6.0, np.float32)
+    pm[0, 0, 10:13] = 6.0; pm[0, 0, 20:23] = 6.0
+    pm[0, 0, 30:33] = 6.0; pm[0, 0, 40:43] = 6.0  # exactly 8 per column
+    pm[0, 1, :, :] = 6.0                          # all ones: counts [0, N]
+    pm[0, 2, 0, :] = 6.0                          # first row: wrap + start
+    pm[0, 3, -1, :] = 6.0                         # last row: column wraps
+    # pm[0, 4] stays all zeros: counts [N]
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[:h4, :w4]
+    for q in range(Q):                            # sample 1: random blobs
+        cy, cx = rng.uniform(0.2, 0.8) * h4, rng.uniform(0.2, 0.8) * w4
+        ry, rx = rng.uniform(0.1, 0.3) * h4, rng.uniform(0.1, 0.3) * w4
+        pm[1, q][((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0] = 6.0
+    sizes = np.array([[4 * h4, 4 * w4]] * B)
+    orig = np.array([[h4, w4]] * B)
+    valid = np.array([True, True])
+    timings = {}
+    dev = postprocess_masks_device(jnp.asarray(pm), sizes, orig, valid,
+                                   timings=timings)
+    host = postprocess_masks_host(pm, sizes, orig, valid)
+    assert timings["n_overflow_samples"] == 0, timings
+    for b in range(B):
+        for q in range(Q):
+            assert dev[b][q] == host[b][q], (b, q)
+    # One more transition per column than kc must flip that sample (and only
+    # that sample) to the packed fallback, with identical RLEs.
+    pm2 = pm.copy()
+    pm2[0, 0, 46] = 6.0  # 5th stripe -> 10 transitions per column
+    t2 = {}
+    dev2 = postprocess_masks_device(jnp.asarray(pm2), sizes, orig, valid,
+                                    timings=t2)
+    host2 = postprocess_masks_host(pm2, sizes, orig, valid)
+    assert t2["n_overflow_samples"] == 1, t2
+    for b in range(B):
+        for q in range(Q):
+            assert dev2[b][q] == host2[b][q], (b, q)
 
 
 def test_mask_postprocess_device_matches_host():

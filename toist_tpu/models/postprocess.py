@@ -127,10 +127,10 @@ def _interp_vectors(o: int, s: int):
 
 
 def _device_resize_threshold(pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0,
-                             lx1, logit_thr: float, pack_bytes: int,
-                             pack_cols: int):
+                             lx1, oh_arr, ow_arr, logit_thr: float,
+                             pack_bytes: int, pack_cols: int, kc: int):
     """[B,Q,h4,w4] logits x per-sample two-tap bilinear gathers -> packed
-    binary masks.
+    binary masks AND their per-column RLE transitions.
 
     The bilinear matrices are 2-sparse per output position, so instead of
     dense MXU matmuls (~146 GFLOP at this workload's batch-4 x 100-query x
@@ -147,6 +147,24 @@ def _device_resize_threshold(pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0,
     `pack_bytes` rows of 8 and the OW axis to `pack_cols` columns, so only
     ceil(max_oh/8) * max_ow bytes per mask cross the wire (shipping all
     OW=640 columns cost a 480-wide COCO image 33% extra pull bytes).
+
+    Beyond the packed bits, COCO's uncompressed RLE is literally the list of
+    column-major transition positions — so the kernel also emits, per output
+    column, the first `kc` within-column transition y-positions and the true
+    transition count (uint16 each). A transition at column x, row y means
+    bits[y, x] != previous-stream-element, where the previous element is
+    bits[y-1, x] for y>0, bits[oh-1, x-1] for y==0 (column wrap), and a
+    virtual 0 before the stream start. Trained masks are blobs (~2-4
+    transitions per column), so shipping [OW, kc] uint16 positions + [OW]
+    uint16 counts is ~3x fewer wire bytes than the packed bits — the pull
+    rides a ~12-25 MB/s tunnel on the dev chip, so bytes are the whole cost.
+    A per-sample `overflow` flag (any column count > kc) tells the host to
+    fall back to pulling that sample's packed bits (e.g. untrained
+    salt-and-pepper masks with ~1e5 runs). oh_arr/ow_arr are [B] int32
+    per-sample crop sizes (ow 0 for invalid samples).
+
+    Returns (packed uint8 [B,Q,pack_cols,pack_bytes],
+             pos uint16 [B,Q,OW,kc], cnt uint16 [B,Q,OW], overflow bool [B]).
     """
     import jax.numpy as jnp
 
@@ -165,8 +183,31 @@ def _device_resize_threshold(pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0,
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     packed = jnp.einsum("bqxok,k->bqxo",
                         bits.reshape(B, Q, OW, OH // 8, 8), weights)
-    # uint8 [B, Q, pack_cols, pack_bytes]: MSB-first within each byte.
-    return packed[..., :pack_cols, :pack_bytes]
+    packed = packed[..., :pack_cols, :pack_bytes]
+
+    # --- per-column transitions (bits layout is [B, Q, x=OW, y=OH]) ---
+    y_valid = (jnp.arange(OH, dtype=jnp.int32)[None, :]
+               < oh_arr[:, None])[:, None, None, :]        # [B,1,1,OH]
+    x_valid = (jnp.arange(OW, dtype=jnp.int32)[None, :]
+               < ow_arr[:, None])[:, None, :, None]        # [B,1,OW,1]
+    # Previous stream element: bits[..., x, y-1] within a column; the last
+    # VALID row (y = oh-1) of column x-1 at a column wrap; 0 at stream start.
+    last_idx = jnp.maximum(oh_arr - 1, 0).astype(jnp.int32)
+    last_row = take(bits, jnp.broadcast_to(
+        last_idx[:, None, None, None], (B, Q, OW, 1)), axis=3)  # [B,Q,OW,1]
+    prev_col_last = jnp.concatenate(
+        [jnp.zeros((B, Q, 1, 1), bits.dtype), last_row[:, :, :-1]], axis=2)
+    prev = jnp.concatenate([prev_col_last, bits[..., :-1]], axis=3)
+    t = (bits != prev) & y_valid & x_valid                  # [B,Q,OW,OH]
+    rank = jnp.cumsum(t.astype(jnp.int32), axis=-1)
+    cnt = rank[..., -1].astype(jnp.uint16)                  # [B,Q,OW]
+    iota_y = jnp.arange(OH, dtype=jnp.int32)
+    pos = jnp.stack(
+        [jnp.where(t & (rank == r + 1), iota_y, 0).sum(axis=-1)
+         for r in range(kc)], axis=-1).astype(jnp.uint16)   # [B,Q,OW,kc]
+    overflow = jnp.any(rank[..., -1] > kc, axis=(1, 2))     # [B]
+    # Crop the wire tensors to the batch's max original width, like packed.
+    return packed, pos[:, :, :pack_cols], cnt[:, :, :pack_cols], overflow
 
 
 _DEVICE_RESIZE_JIT = None
@@ -174,17 +215,20 @@ _DEVICE_RESIZE_JIT = None
 
 def start_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
                        mask_stride: int = 4, threshold: float = 0.5,
-                       max_out_hw=(640, 640)):
+                       max_out_hw=(640, 640), max_col_transitions: int = 8):
     """Phase 1 of the device PostProcessSegm: dispatch the batched on-device
-    resize + threshold + bitpack (async under JAX dispatch) and start the
-    device->host copy of the packed bits without blocking. Returns an opaque
-    handle for finish_masks_device — between the two calls the caller can
-    dispatch the NEXT batch's forward, so the packed-bits pull (the dominant
-    cost on the tunneled dev chip) overlaps device compute instead of
-    serializing with it (train/engine.evaluate double-buffers exactly this
-    way). Falls back to the synchronous host path (handle carries the
-    finished result) if any original exceeds the canvas or the masks are
-    already on host."""
+    resize + threshold + RLE-transition extraction (async under JAX dispatch)
+    and start the device->host copy of the per-column transition tensors
+    without blocking. Returns an opaque handle for finish_masks_device —
+    between the two calls the caller can dispatch the NEXT batch's forward,
+    so the transition pull (the dominant cost on the tunneled dev chip)
+    overlaps device compute instead of serializing with it
+    (train/engine.evaluate double-buffers exactly this way). Packed bits are
+    also computed on device but pulled per-sample ONLY when a sample's
+    per-column transition count exceeds max_col_transitions (untrained
+    salt-and-pepper masks; trained blob masks have ~2-4 per column). Falls
+    back to the synchronous host path (handle carries the finished result)
+    if any original exceeds the canvas or the masks are already on host."""
     import time as _time
 
     import jax
@@ -211,12 +255,15 @@ def start_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
     ix1 = np.zeros((B, OW), np.int32)
     lx0 = np.zeros((B, OW), np.float32)
     lx1 = np.zeros((B, OW), np.float32)
+    oh_arr = np.ones((B,), np.int32)
+    ow_arr = np.zeros((B,), np.int32)
     max_oh, max_ow = 8, 1
     for b in range(B):
         if not sample_valid[b]:
             continue
         ih, iw = int(sizes[b][0]), int(sizes[b][1])
         oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
+        oh_arr[b], ow_arr[b] = oh, ow
         max_oh = max(max_oh, oh)
         max_ow = max(max_ow, ow)
         ch, cw = max(1, ih // mask_stride), max(1, iw // mask_stride)
@@ -239,24 +286,34 @@ def start_masks_device(pred_masks, sizes, orig_sizes, sample_valid,
     if _DEVICE_RESIZE_JIT is None:
         _DEVICE_RESIZE_JIT = jax.jit(
             _device_resize_threshold,
-            static_argnames=("logit_thr", "pack_bytes", "pack_cols"))
+            static_argnames=("logit_thr", "pack_bytes", "pack_cols", "kc"))
     t0 = _time.time()
-    packed_dev = _DEVICE_RESIZE_JIT(
-        pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0, lx1,
-        logit_thr=logit_thr, pack_bytes=pack_bytes, pack_cols=pack_cols)
-    try:
-        packed_dev.copy_to_host_async()
-    except Exception:
-        pass  # optional accelerator API; np.asarray in finish still works
-    return {"packed": packed_dev, "orig_sizes": orig_sizes,
+    packed_dev, pos_dev, cnt_dev, overflow_dev = _DEVICE_RESIZE_JIT(
+        pred_masks, iy0, iy1, ly0, ly1, ix0, ix1, lx0, lx1, oh_arr, ow_arr,
+        logit_thr=logit_thr, pack_bytes=pack_bytes, pack_cols=pack_cols,
+        kc=max_col_transitions)
+    for arr in (pos_dev, cnt_dev, overflow_dev):
+        try:
+            arr.copy_to_host_async()
+        except Exception:
+            pass  # optional accelerator API; np.asarray in finish still works
+    return {"packed": packed_dev, "pos": pos_dev, "cnt": cnt_dev,
+            "overflow": overflow_dev, "kc": max_col_transitions,
+            "oh_arr": oh_arr, "ow_arr": ow_arr,
+            "orig_sizes": orig_sizes,
             "sample_valid": np.asarray(sample_valid), "Q": Q,
             "dispatch_ms": (_time.time() - t0) * 1e3}
 
 
 def finish_masks_device(handle, timings=None):
-    """Phase 2: materialize the packed bits on host (blocks on the transfer
-    started by start_masks_device) and run-length encode via the C++ core.
-    Returns per-sample lists of RLE dicts (None for invalid samples)."""
+    """Phase 2: materialize the per-column transition tensors on host (blocks
+    on the transfer started by start_masks_device) and assemble COCO RLEs —
+    the uncompressed RLE counts are exactly the diffs of the column-major
+    transition positions, so the host does a numpy diff + the C++ string
+    codec per mask. Samples whose masks exceeded the per-column transition
+    cap pull their packed bits instead (same bits, same RLEs, more wire
+    bytes). Returns per-sample lists of RLE dicts (None for invalid
+    samples)."""
     import time as _time
 
     import numpy as np
@@ -266,22 +323,57 @@ def finish_masks_device(handle, timings=None):
     if "host_result" in handle:
         return handle["host_result"]
     t0 = _time.time()
-    packed = np.asarray(handle["packed"])
-    t1 = _time.time()
+    overflow = np.asarray(handle["overflow"])
+    pos = np.asarray(handle["pos"])
+    cnt = np.asarray(handle["cnt"])
+    transferred = pos.nbytes + cnt.nbytes + overflow.nbytes
     orig_sizes, sample_valid = handle["orig_sizes"], handle["sample_valid"]
+    kc, Q = handle["kc"], handle["Q"]
+    # Packed-bits fallback: device slices so only the overflowing samples'
+    # bytes cross the wire — unless every valid sample overflowed (the
+    # untrained salt-and-pepper regime), where one whole-array pull beats
+    # B serial slice round-trips over the tunnel.
+    packed = {}
+    need = [b for b in range(len(sample_valid))
+            if sample_valid[b] and overflow[b]]
+    n_valid = int(np.asarray(sample_valid).sum())
+    if need and len(need) == n_valid:
+        whole = np.asarray(handle["packed"])
+        transferred += whole.nbytes
+        packed = {b: whole[b] for b in need}
+    else:
+        for b in need:
+            packed[b] = np.asarray(handle["packed"][b])
+            transferred += packed[b].nbytes
+    t1 = _time.time()
     out = []
     for b in range(len(sample_valid)):
         if not sample_valid[b]:
             out.append(None)
             continue
         oh, ow = int(orig_sizes[b][0]), int(orig_sizes[b][1])
-        out.append([rle_ops.encode_packed_cm(packed[b, q], oh, ow)
-                    for q in range(handle["Q"])])
+        if b in packed:
+            out.append([rle_ops.encode_packed_cm(packed[b][q], oh, ow)
+                        for q in range(Q)])
+            continue
+        rles = []
+        n_pix = oh * ow
+        xs_full = np.arange(ow, dtype=np.int64) * oh
+        for q in range(Q):
+            c = cnt[b, q, :ow].astype(np.int64)
+            ks = np.arange(kc, dtype=np.int64)[None, :] < c[:, None]
+            ys = pos[b, q, :ow][ks].astype(np.int64)
+            xs = np.repeat(xs_full, c)
+            trans = xs + ys
+            counts = np.diff(np.concatenate(([0], trans, [n_pix])))
+            rles.append(rle_ops.encode_from_counts(counts, oh, ow))
+        out.append(rles)
     if timings is not None:
         timings["device_and_transfer_ms"] = \
             handle["dispatch_ms"] + (t1 - t0) * 1e3
         timings["host_rle_ms"] = (_time.time() - t1) * 1e3
-        timings["packed_mb"] = packed.nbytes / 1e6
+        timings["packed_mb"] = transferred / 1e6
+        timings["n_overflow_samples"] = int(len(packed))
     return out
 
 

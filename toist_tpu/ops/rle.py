@@ -56,6 +56,18 @@ def encode_packed_cm(packed: np.ndarray, oh: int, ow: int) -> dict:
     return {"size": [int(oh), int(ow)], "counts": s.value}
 
 
+def encode_from_counts(counts: np.ndarray, oh: int, ow: int) -> dict:
+    """Uncompressed RLE counts (alternating 0-run/1-run lengths, column-major,
+    first run counts zeros) -> RLE dict with the standard compressed string.
+    Used by the device postprocess transitions path
+    (models/postprocess.finish_masks_device), where the counts come straight
+    off the device as diffs of transition positions."""
+    counts = np.ascontiguousarray(np.asarray(counts, np.uint32))
+    s = ctypes.create_string_buffer(len(counts) * 7 + 1)
+    _lib().rle_to_string(_as_u32p(counts), len(counts), s)
+    return {"size": [int(oh), int(ow)], "counts": s.value}
+
+
 def decode(rle: dict) -> np.ndarray:
     """RLE dict -> binary mask [H, W] uint8."""
     h, w = rle["size"]

@@ -864,7 +864,9 @@ def _run_substage(stage: str, timeout: float = 3000, retries: int = 1):
                     if ln.startswith("{")][-1]
             return json.loads(line)
         except subprocess.TimeoutExpired:
-            err = {"error": f"stage {stage} timed out after {timeout}s"}
+            # No retry on timeout: the cap came from the wall-clock budget,
+            # and a second identical run would overrun the deadline ~2x.
+            return {"error": f"stage {stage} timed out after {timeout}s"}
         except Exception as e:
             tail = ""
             try:
@@ -952,9 +954,13 @@ def main():
     elif dete_train:
         matrix["dete_train"] = dete_train
     emit()
-    # 3+4: distillation — the paper's flagship workload — at the reference's
+    # Detection train at the sublane/lane-aligned batch 16 — the framework's
+    # peak-MFU row (round-5 fused-attention rewrite: 42.7% MFU; the batch-6
+    # row above keeps the reference's per-GPU hyperparameter parity).
+    # Then distillation — the paper's flagship workload — at the reference's
     # 3x2 and at the sublane-aligned 8x2 (round-4 win: 19.9 -> 33.0% MFU).
-    for key, stage, est in (("dis_train", "dis_train", 260),
+    for key, stage, est in (("dete_train_b16", "dete_train:16", 220),
+                            ("dis_train", "dis_train", 260),
                             ("dis_train_b8", "dis_train:8:1", 260),
                             ("seg_train", "seg_train", 200),
                             ("seg_eval", "seg_eval", 150)):

@@ -30,11 +30,19 @@ import jax.numpy as jnp
 _INF = float("inf")
 
 
-def _augment_one(cost, u, v, row4col, col4row, cur_row):
+def _augment_one(cost, u, v, row4col, col4row, cur_row, do):
     """Find and apply one augmenting path starting at ``cur_row``.
 
     cost: [R, C] f32. u: [R], v: [C] potentials. row4col: [C] i32 (col -> row or -1).
     col4row: [R] i32 (row -> col or -1). Returns updated (u, v, row4col, col4row).
+
+    ``do`` (traced bool) gates the whole phase: when False both inner loops
+    exit at iteration 0 and the state passes through unchanged. This matters
+    under vmap: ``lax.cond`` with a batched predicate lowers to select-of-
+    both-branches, so guarding a phase with ``cond(row < n_rows, ...)`` still
+    PAYS the full Dijkstra for every lane — the pre-round-5 implementation
+    did exactly that for padded rows. An in-loop early exit is the only way
+    a lane skips work inside a batched while.
     """
     R, C = cost.shape
     row_iota = jnp.arange(R)
@@ -80,7 +88,8 @@ def _augment_one(cost, u, v, row4col, col4row, cur_row):
     init = (
         cur_row,
         jnp.float32(0.0),
-        jnp.int32(-1),
+        # sink >= 0 at entry = the scan loop never runs for a gated-off lane.
+        jnp.where(do, jnp.int32(-1), jnp.int32(0)),
         jnp.zeros((R,), bool),
         jnp.zeros((C,), bool),
         jnp.full((C,), _INF),
@@ -115,15 +124,18 @@ def _augment_one(cost, u, v, row4col, col4row, cur_row):
             col4row = jnp.where(row_iota == i, j, col4row)
             return (prev_j, row4col, col4row, i == cur_row, hops + 1)
 
+        # done starts True for gated-off lanes so the batched backtrack
+        # also runs zero iterations for them (the select below discards
+        # their branch result either way; iteration COUNT is what's shared).
         _, row4col, col4row, _, _ = jax.lax.while_loop(
             aug_cond, aug_body,
-            (sink, row4col, col4row, jnp.bool_(False), jnp.int32(0)))
+            (sink, row4col, col4row, ~do, jnp.int32(0)))
         return u2, v2, row4col, col4row
 
     # sink < 0 = no reachable free column (only possible when non-finite
     # costs slipped past the solve_lsa sanitizer): leave cur_row unassigned
     # (col4row stays -1) rather than corrupt duals with inf arithmetic.
-    return jax.lax.cond(sink >= 0, apply, lambda a: a,
+    return jax.lax.cond(do & (sink >= 0), apply, lambda a: a,
                         (u, v, row4col, col4row))
 
 
@@ -153,20 +165,51 @@ def solve_lsa(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
     big = (jnp.max(jnp.where(finite, jnp.abs(cost), 0.0)) + 1.0) * (R + 1)
     cost = jnp.where(finite, cost, big)
 
-    def body(row, state):
-        u, v, row4col, col4row = state
-        return jax.lax.cond(
-            row < n_rows,
-            lambda s: _augment_one(cost, *s, row),
-            lambda s: s,
-            (u, v, row4col, col4row),
-        )
+    row_iota = jnp.arange(R)
+    col_iota = jnp.arange(C)
+    valid_row = row_iota < n_rows
 
-    u0 = jnp.zeros((R,), jnp.float32)
+    # Row-reduction warm start (the rectangular-safe half of LAPJV's init,
+    # Jonker & Volgenant 1987 §2): u = per-row min, v = 0, plus a greedy
+    # TIGHT partial matching of each row to its argmin column (collisions:
+    # lowest row index wins), all in parallel tensor ops. Each SAP phase
+    # below then only augments the rows this init leaves unmatched — with
+    # R << C column collisions are rare, so that's a handful instead of all
+    # n_rows — and with row-reduced duals the Dijkstra paths it runs are
+    # short. Exactness is unaffected: SAP requires feasible duals
+    # (cost[i,j]-u[i]-v[j] >= 0 — holds, u is the row min and v=0), a
+    # matching tight on assigned pairs (cost[i,argmin_i] - u[i] = 0), and —
+    # the rectangular-LP subtlety — v == 0 on UNMATCHED columns
+    # (complementary slackness with the <=1 column constraints; this is why
+    # COLUMN reduction, which the square-only classic LAPJV also does, would
+    # be WRONG here: it ends with nonzero v on never-used columns and the
+    # greedy tight matching locks in a suboptimal assignment). The SAP phase
+    # preserves the invariant: the only unmatched column whose v it touches
+    # is the sink, which the augment immediately matches.
+    best_col = jnp.argmin(cost, axis=1).astype(jnp.int32)     # [R]
+    u0 = jnp.where(valid_row, jnp.min(cost, axis=1), 0.0).astype(jnp.float32)
     v0 = jnp.zeros((C,), jnp.float32)
-    row4col0 = jnp.full((C,), -1, jnp.int32)
-    col4row0 = jnp.full((R,), -1, jnp.int32)
-    _, _, _, col4row = jax.lax.fori_loop(0, R, body, (u0, v0, row4col0, col4row0))
+    claims = (best_col[:, None] == col_iota[None, :]) & valid_row[:, None]
+    winner = jnp.argmax(claims, axis=0).astype(jnp.int32)     # [C] lowest row
+    row4col0 = jnp.where(jnp.any(claims, axis=0), winner, -1).astype(jnp.int32)
+    col4row0 = jnp.where(
+        valid_row & (row4col0[best_col] == row_iota), best_col, -1
+    ).astype(jnp.int32)
+
+    # Augment only the unmatched rows, compacted to the front so a batched
+    # (vmapped) solve runs max-lanes(#unmatched) productive phases in
+    # lockstep rather than R. Phases past a lane's count are gated off via
+    # ``do`` (zero loop iterations — see _augment_one on why lax.cond can't
+    # do this).
+    unmatched = valid_row & (col4row0 < 0)
+    order = jnp.argsort(~unmatched, stable=True)              # unmatched first
+    n_unmatched = jnp.sum(unmatched)
+
+    def body(p, state):
+        return _augment_one(cost, *state, order[p], p < n_unmatched)
+
+    _, _, _, col4row = jax.lax.fori_loop(
+        0, R, body, (u0, v0, row4col0, col4row0))
     return col4row
 
 
